@@ -1,0 +1,125 @@
+"""User-facing API mirroring teaser::RobustRegistrationSolver.
+
+The reference class (registration.h:326-832) is stateful: construct with
+Params, call solve(src, dst), query getSolution()/inlier getters. That shape
+is preserved here for 1:1 driver ports; the functional core
+(`register_pair`) is the idiomatic JAX entry point.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psulvsb_tpu.solver.config import SolverParams
+from psulvsb_tpu.solver.solution import RegistrationSolution
+from psulvsb_tpu.solver.psulvsb import psulvsb_solve
+from psulvsb_tpu.solver.classic import solve_decoupled
+
+
+def register_pair(
+    src,
+    dst,
+    params: SolverParams,
+    key: jax.Array,
+    keep_mask=None,
+) -> tuple[RegistrationSolution, dict]:
+    """Functional PSULVSB registration of one correspondence set.
+
+    src/dst: (3, C) arrays. keep_mask: optional (C,) int32 {1, 0, -1}
+    histogram pre-filter mask (defaults to all-kept, i.e. the reduced set
+    equals the original set).
+    """
+    src = jnp.asarray(src)
+    dst = jnp.asarray(dst)
+    if keep_mask is None:
+        keep_mask = jnp.ones((src.shape[1],), jnp.int32)
+    return psulvsb_solve(src, dst, keep_mask, params, key)
+
+
+class RobustRegistrationSolver:
+    """Class-shaped facade over the functional solver (parity with
+    registration.h:326-832 and the pybind11 binding surface,
+    python/teaserpp_python/teaserpp_python.cc:24-208)."""
+
+    Params = SolverParams
+
+    def __init__(self, params: SolverParams | None = None, seed: int = 0):
+        self.params = params or SolverParams()
+        self._key = jax.random.PRNGKey(seed)
+        self._solution: RegistrationSolution | None = None
+        self._info: dict = {}
+
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def reset(self, params: SolverParams) -> None:
+        """registration.h:747-783 — reinitialize with new params."""
+        self.params = params
+        self._solution = None
+        self._info = {}
+
+    def solve(self, src, dst, correspondences=None, keep_mask=None) -> RegistrationSolution:
+        """Solve registration.
+
+        Either solve(src_points, dst_points, correspondences) with (3, N)
+        clouds and an iterable of (i, j) index pairs (registration.cc:511-524),
+        or solve(src_corr, dst_corr) with pre-matched (3, C) matrices
+        (the PSULVSB overload, registration.cc:622).
+        """
+        src = np.asarray(src)
+        dst = np.asarray(dst)
+        if correspondences is not None:
+            corr = np.asarray(correspondences, dtype=np.int64)
+            src = src[:, corr[:, 0]]
+            dst = dst[:, corr[:, 1]]
+        keep = (
+            None
+            if keep_mask is None
+            else jnp.asarray(np.asarray(keep_mask), jnp.int32)
+        )
+        sol, info = register_pair(
+            jnp.asarray(src, jnp.float32),
+            jnp.asarray(dst, jnp.float32),
+            self.params,
+            self._next_key(),
+            keep_mask=keep,
+        )
+        self._solution = sol
+        self._info = info
+        return sol
+
+    def solve_decoupled(self, src, dst) -> RegistrationSolution:
+        """Classic single-pass decoupled solve (no PSULVSB loops)."""
+        sol, info = solve_decoupled(
+            jnp.asarray(np.asarray(src), jnp.float32),
+            jnp.asarray(np.asarray(dst), jnp.float32),
+            self.params,
+            self._next_key(),
+        )
+        self._solution = sol
+        self._info = info
+        return sol
+
+    # --- getters mirroring registration.h:600-746 --------------------------
+    def getSolution(self) -> RegistrationSolution:
+        if self._solution is None:
+            raise RuntimeError("call solve() first")
+        return self._solution
+
+    def getInlierCounter(self):
+        return self._info.get("inlier_counter")
+
+    def getFinalInliers(self):
+        return self._info.get("final_inliers")
+
+    def getScaleInliersMask(self):
+        return self._info.get("scale_inliers")
+
+    def getRotationInliersMask(self):
+        return self._info.get("rotation_inliers")
+
+    def getTranslationInliersMask(self):
+        return self._info.get("translation_inliers")

@@ -1,0 +1,72 @@
+"""Pure metric functions shared by the solver and the eval harness.
+
+Equivalents of (references into /root/reference/):
+- getAngularError                    examples/teaser_cpp_ply/PSULVSB.cc:30-33
+- calculateRMSE                      teaser/src/registration.cc:571-602
+- computeInlierProbability           teaser/src/registration.cc:611-619
+- utils::calculateDiameter           teaser/include/teaser/utils.h:107-112
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from psulvsb_tpu.utils.precision import mm
+
+
+def angular_error_rad(r_exp: jax.Array, r_est: jax.Array) -> jax.Array:
+    """Geodesic rotation error |acos((tr(Ra^T Rb) - 1)/2)| in radians."""
+    c = (jnp.trace(r_exp.T @ r_est) - 1.0) / 2.0
+    return jnp.abs(jnp.arccos(jnp.clip(c, -1.0, 1.0)))
+
+
+def angular_error_deg(r_exp: jax.Array, r_est: jax.Array) -> jax.Array:
+    return angular_error_rad(r_exp, r_est) * (180.0 / jnp.pi)
+
+
+def translation_error(t_exp: jax.Array, t_est: jax.Array) -> jax.Array:
+    return jnp.linalg.norm(t_exp - t_est)
+
+
+def masked_rmse(
+    src: jax.Array,
+    dst: jax.Array,
+    mask: jax.Array,
+    rotation: jax.Array,
+    translation: jax.Array,
+) -> jax.Array:
+    """RMSE of (R src + t) vs dst over mask==True columns. src/dst: (3, N).
+
+    Equivalent of calculateRMSE (registration.cc:571-602); the no-inlier case
+    (reference throws) returns +inf so the refinement gate rejects.
+    """
+    m = mask.astype(src.dtype)
+    diff = mm(rotation, src) + translation[:, None] - dst
+    sq = jnp.sum(diff * diff, axis=0)
+    count = jnp.sum(m)
+    mse = jnp.sum(sq * m) / jnp.maximum(count, 1.0)
+    return jnp.where(count > 0, jnp.sqrt(mse), jnp.inf)
+
+
+def inlier_probability(residual: jax.Array, sigma: jax.Array | float) -> jax.Array:
+    """P(inlier) = 1 - P(3/2, r^2 / (2 sigma^2)) — the chi(3) survival
+    function via the regularized lower incomplete gamma function.
+
+    Equivalent of computeInlierProbability (registration.cc:611-619, which
+    uses boost::math::gamma_p).
+    """
+    z = (residual * residual) / (2.0 * sigma * sigma)
+    return 1.0 - jax.scipy.special.gammainc(1.5, z)
+
+
+def calculate_diameter(pts: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+    """2 * max distance from centroid, over active columns. Ref utils.h:107-112."""
+    if mask is None:
+        mask = jnp.ones((pts.shape[1],), dtype=bool)
+    m = mask.astype(pts.dtype)
+    count = jnp.maximum(jnp.sum(m), 1.0)
+    cog = mm(pts, m) / count
+    d2 = jnp.sum((pts - cog[:, None]) ** 2, axis=0)
+    d2 = jnp.where(mask, d2, 0.0)
+    return 2.0 * jnp.sqrt(jnp.max(d2))

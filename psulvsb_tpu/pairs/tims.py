@@ -1,0 +1,105 @@
+"""Line-vector (translation-invariant measurement, TIM) set machinery.
+
+The reference builds the full upper-triangular pair set serially
+(registration.cc:693-732 — the O(C^2) hot loop) together with a scale-ratio
+histogram (MaxScale=10000, binsize=20 bins per unit, i.e. bin width 0.05)
+whose peak bin ±1 forms the initial "L reduced set"
+(registration.cc:744-752).
+
+TPU form: pair indices are static numpy constants per padded size; TIMs are
+one gather + subtract; the histogram is a segment-sum; the peak±1 reduction
+is a vectorized bin-membership mask. Pair validity is carried as a mask so
+padded correspondences never produce TIMs.
+
+`computeTIMs` (registration.cc:470-509) used by the classic decoupled path
+orders pairs identically (i < j, segment-major), so `triu_pair_indices`
+serves both.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=32)
+def triu_pair_indices(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static (i, j) index arrays of all i < j pairs, in the reference's
+    segment-major order (registration.cc:479-505): for i = 0..n-2, all
+    j = i+1..n-1. Length L = n(n-1)/2.
+    """
+    iu = np.triu_indices(n, k=1)
+    return iu[0].astype(np.int32), iu[1].astype(np.int32)
+
+
+def compute_tims(
+    v: jax.Array, active: jax.Array | None = None
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """All-pairs TIMs of a (3, N) point matrix.
+
+    Returns (tims (3, L), idx_i (L,), idx_j (L,), pair_active (L,)) with
+    tim_l = v[:, j_l] - v[:, i_l], matching computeTIMs
+    (registration.cc:470-509) and the PSULVSB build loop
+    (registration.cc:697-711, src.col(j) - src.col(i)).
+    """
+    n = v.shape[1]
+    ii, jj = triu_pair_indices(n)
+    ii = jnp.asarray(ii)
+    jj = jnp.asarray(jj)
+    tims = v[:, jj] - v[:, ii]
+    if active is None:
+        pair_active = jnp.ones((ii.shape[0],), dtype=bool)
+    else:
+        pair_active = active[ii] & active[jj]
+    return tims, ii, jj, pair_active
+
+
+def gather_tims(v: jax.Array, idx_i: jax.Array, idx_j: jax.Array) -> jax.Array:
+    """TIMs for explicit pair lists: v[:, j] - v[:, i]."""
+    return v[:, idx_j] - v[:, idx_i]
+
+
+def scale_ratio_histogram(
+    ratios: jax.Array,
+    pair_active: jax.Array,
+    max_scale: float = 10000.0,
+    bins_per_unit: int = 20,
+    num_bins: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Histogram of |dst_tim|/|src_tim| ratios.
+
+    Reference semantics (registration.cc:687-729): H has MaxScale * binsize
+    bins over [0, MaxScale] (bin width 1/binsize = 0.05); out-of-range
+    ratios are clamped into the last/first bin. (The reference dynamically
+    regrows MaxScale when a ratio exceeds it — registration.cc:714-718; here
+    out-of-range ratios clamp to the last bin, which the peak search ignores
+    unless the data is pathological.)
+
+    Returns (counts (num_bins,) int32, bin index per ratio (L,) int32).
+    """
+    if num_bins is None:
+        num_bins = int(max_scale) * bins_per_unit
+    idx = jnp.floor(ratios / max_scale * num_bins).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, num_bins - 1)
+    # Reference: H_index > H.size() or < 0 -> 0 (registration.cc:721-723).
+    idx = jnp.where(jnp.isfinite(ratios), idx, 0)
+    counts = jnp.zeros((num_bins,), jnp.int32).at[idx].add(
+        pair_active.astype(jnp.int32)
+    )
+    return counts, idx
+
+
+def peak_bin_mask(
+    counts: jax.Array, bin_idx: jax.Array, pair_active: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Membership mask of the histogram peak bin ±1 — the initial reduced
+    line-vector set (registration.cc:744-752).
+
+    Returns (reduced mask over pairs, peak bin index).
+    """
+    peak = jnp.argmax(counts)
+    in_peak = jnp.abs(bin_idx - peak) <= 1
+    return in_peak & pair_active, peak

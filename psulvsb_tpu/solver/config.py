@@ -1,0 +1,144 @@
+"""Solver configuration — one frozen dataclass replacing the reference's
+four config layers (Params struct + compile-time dataset macros + hard-coded
+constants + driver globals; see SURVEY.md §5 "Config / flag system").
+
+Field-by-field parity with teaser::RobustRegistrationSolver::Params
+(/root/reference/teaser/include/teaser/registration.h:378-473), plus the
+constants the reference buries in registration.cc:
+- noise_bound_dataset / pr_noise      registration.cc:32-36 (#define NOISE_BOUND,
+                                      PrNoise = 2*NOISE_BOUND)
+- rotation_similar = 0.01             registration.cc:48
+- local_max_iter = 10                 registration.cc:49
+- inner-loop override noise_bound=0.05, cbar2=1, GNC_TLS, cost_thr=0.005
+                                      registration.cc:938-945
+- sampling-rate escalation schedule   registration.cc:1377-1388
+- host confidence 0.99 / 5 rounds     registration.cc:772,781
+- 60 s wall-clock budget              registration.cc:1475
+plus static TPU capacity knobs (padded sizes) that replace dynamic resizes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class RotationEstimationAlgorithm(enum.IntEnum):
+    """registration.h:343-346."""
+
+    GNC_TLS = 0
+    FGR = 1
+
+
+class InlierSelectionMode(enum.IntEnum):
+    """registration.h:356-361."""
+
+    PMC_EXACT = 0
+    PMC_HEU = 1
+    KCORE_HEU = 2
+    NONE = 3
+
+
+class InlierGraphFormulation(enum.IntEnum):
+    """registration.h:370-373."""
+
+    CHAIN = 0
+    COMPLETE = 1
+
+
+# Rate escalation ladder: (L_sampled_rate, b_sampled_rate) —
+# registration.cc:776-777 initial values and :1377-1388 transitions.
+RATE_SCHEDULE = ((0.1, 0.3), (0.2, 0.3), (0.5, 0.3), (1.0, 1.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverParams:
+    # --- teaser::RobustRegistrationSolver::Params parity -------------------
+    noise_bound: float = 0.01
+    cbar2: float = 1.0
+    estimate_scaling: bool = True
+    rotation_estimation_algorithm: RotationEstimationAlgorithm = (
+        RotationEstimationAlgorithm.GNC_TLS
+    )
+    rotation_gnc_factor: float = 1.4
+    rotation_max_iterations: int = 100
+    rotation_cost_threshold: float = 1e-6
+    rotation_tim_graph: InlierGraphFormulation = InlierGraphFormulation.CHAIN
+    inlier_selection_mode: InlierSelectionMode = InlierSelectionMode.PMC_EXACT
+    kcore_heuristic_threshold: float = 0.5
+    use_max_clique: bool = True  # deprecated upstream; kept for parity
+    max_clique_exact_solution: bool = True  # deprecated upstream
+    max_clique_time_limit: float = 3600.0
+
+    # --- dataset-level constants (compile-time macros in the reference) ----
+    # PrNoise = 2 * NOISE_BOUND (registration.cc:36); the dataset noise bound
+    # is the #define at registration.cc:32-35, independent of the per-solve
+    # noise_bound above.
+    noise_bound_dataset: float = 0.01
+
+    # --- PSULVSB loop constants (hard-coded in the reference) --------------
+    inner_noise_bound: float = 0.05  # registration.cc:938
+    inner_cbar2: float = 1.0  # registration.cc:939
+    inner_rotation_max_iterations: int = 100  # registration.cc:941
+    inner_rotation_gnc_factor: float = 1.4  # registration.cc:942
+    inner_rotation_cost_threshold: float = 0.005  # registration.cc:945
+    rotation_similar: float = 0.01  # registration.cc:48
+    local_max_iter: int = 10  # registration.cc:49
+    local_confidence: float = 0.99  # Tpro_local, registration.cc:898
+    host_confidence: float = 0.99  # Tpro_host, registration.cc:772
+    max_host_rounds: int = 5  # qr_round_bound_limit, registration.cc:781
+    time_budget_s: float = 60.0  # registration.cc:1475
+    stagnation_min_pro_local: float = 0.2  # registration.cc:1361
+
+    # Histogram (registration.cc:687-688).
+    hist_max_scale: float = 10000.0
+    hist_bins_per_unit: int = 20
+
+    # --- TPU capacity knobs (static shapes replacing dynamic resizes) ------
+    # Upper bound on TIM indices kept in the sampled set per host round.
+    sampled_cap: int = 4096
+    # Upper bound on TIMs per basic (hypothesis) set.
+    basic_cap: int = 2048
+    # Hypotheses evaluated in parallel per local batch (vmap width). The
+    # reference evaluates 1 per basic iteration; local_r advances by the
+    # number of hypotheses consumed.
+    hypothesis_batch: int = 16
+    # Draws for the 1-point RANSAC scale consensus.
+    scale_max_draws: int = 256
+
+    @property
+    def pr_noise(self) -> float:
+        """PrNoise = 2 * dataset noise bound (registration.cc:36)."""
+        return 2.0 * self.noise_bound_dataset
+
+    def resolve_inlier_selection(self) -> InlierSelectionMode:
+        """Deprecated-field handling (registration.cc:628-637)."""
+        mode = self.inlier_selection_mode
+        if not self.use_max_clique:
+            mode = InlierSelectionMode.NONE
+        elif not self.max_clique_exact_solution:
+            mode = InlierSelectionMode.PMC_HEU
+        return mode
+
+    # Dataset presets replacing the reference's compile-time #define blocks
+    # (registration.cc:32-35, PSULVSB.cc:24, registration_WT.cc:33).
+    @staticmethod
+    def preset_3dmatch(**kw) -> "SolverParams":
+        return SolverParams(noise_bound=0.01, noise_bound_dataset=0.01, **kw)
+
+    @staticmethod
+    def preset_kitti(**kw) -> "SolverParams":
+        return SolverParams(noise_bound=0.1, noise_bound_dataset=0.1, **kw)
+
+    @staticmethod
+    def preset_artificial(**kw) -> "SolverParams":
+        return SolverParams(
+            noise_bound=0.05,
+            noise_bound_dataset=0.05,
+            estimate_scaling=False,
+            **kw,
+        )
+
+    @staticmethod
+    def preset_whu_tls(**kw) -> "SolverParams":
+        return SolverParams(noise_bound=0.15, noise_bound_dataset=0.15, **kw)

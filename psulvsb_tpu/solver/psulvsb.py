@@ -1,0 +1,707 @@
+"""PSULVSB two-level probabilistic RANSAC orchestration — TPU-native.
+
+Re-design of RobustRegistrationSolver::solve(src, dst)
+(/root/reference/teaser/src/registration.cc:622-1535). The reference is a
+serial CPU program: one hypothesis (basic iteration) at a time, dynamic
+Eigen resizes, warm-start state in file-scope globals, confidence-driven
+while loops. The TPU form inverts it:
+
+- **Batched hypotheses**: each local-loop step evaluates a vmapped batch of
+  `hypothesis_batch` independent basic sets (scale -> GNC rotation ->
+  translation -> sampled-point scoring); the serial confidence-stopping /
+  acceptance rules are replayed over the batch in order, so the probability
+  accounting (pro_local = 1 - (1 - w)^local_r, registration.cc:1352) is
+  preserved while the arithmetic runs wide.
+- **Static shapes + masks**: the correspondence set never grows
+  (conservativeResize at registration.cc:795-827); instead (C,)-masks over
+  the padded original set flip on (self-update), and the TIM universe is the
+  full upper-triangular pair grid with an include-mask.
+- **Explicit carries**: the reference's globals (registration.cc:40-50)
+  become `WarmState` + `HostState` pytrees threaded through `lax.while_loop`
+  and the host-round Python loop (host rounds are the natural wall-clock
+  check boundary, matching the 60 s budget check at registration.cc:1475).
+
+Known, intentional divergences from the reference (documented per
+SURVEY.md §7 "hard parts"):
+- RNG is jax.random (seeded, reproducible); the reference uses
+  rand()/time(NULL) and is not reproducible even against itself.
+- Within one hypothesis batch, all hypotheses share the warm state of the
+  batch start (the serial loop would update it between consecutive
+  hypotheses). Batch width 1 reproduces the serial schedule.
+- Sampled/basic sets are capped at `sampled_cap`/`basic_cap` — the
+  escalation ladder still reaches rate 1.0 but set sizes saturate at the
+  caps (the reference's sets are unbounded; the caps are far above the
+  inlier counts that matter for GNC).
+- The reference's self-update re-admission branch contains assignment-
+  in-condition bugs (`inlier_history[j] = 0 ||`, registration.cc:1438);
+  the published intent (probabilistic demotion of previously-inlier
+  points) is implemented instead.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psulvsb_tpu.core.linalg import weighted_procrustes_srt
+from psulvsb_tpu.utils.precision import mm
+from psulvsb_tpu.core.metrics import angular_error_rad, masked_rmse, inlier_probability
+from psulvsb_tpu.pairs.tims import (
+    triu_pair_indices,
+    scale_ratio_histogram,
+    peak_bin_mask,
+)
+from psulvsb_tpu.robust.scale import select_scale_inliers, solve_scale_tls
+from psulvsb_tpu.clique.kcore import greedy_clique
+from psulvsb_tpu.solver.basic import WarmState, basic_step, score_transform
+from psulvsb_tpu.solver.config import (
+    SolverParams,
+    RATE_SCHEDULE,
+    InlierSelectionMode,
+)
+from psulvsb_tpu.solver.solution import RegistrationSolution
+
+
+# =============================================================================
+# Stage 1: line-vector universe + initial reduced set
+# =============================================================================
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _init_stage(
+    ori_src: jax.Array,
+    ori_dst: jax.Array,
+    keep_mask: jax.Array,
+    params: SolverParams,
+    key: jax.Array,
+):
+    """Build the TIM universe over the original correspondence set and the
+    initial reduced line-vector set (registration.cc:682-767).
+
+    keep_mask: (C,) int32 in {1, 0, -1} as produced by the histogram
+    pre-filter (PSULVSB.cc:87-172): 1 = reduced set, 0 = dropped but
+    re-admittable, -1 = discarded.
+    """
+    c = ori_src.shape[1]
+    ii_np, jj_np = triu_pair_indices(c)
+    idx_i, idx_j = jnp.asarray(ii_np), jnp.asarray(jj_np)
+
+    active = keep_mask == 1
+    pair_active = active[idx_i] & active[idx_j]
+
+    src_tims = ori_src[:, idx_j] - ori_src[:, idx_i]
+    dst_tims = ori_dst[:, idx_j] - ori_dst[:, idx_i]
+
+    if params.estimate_scaling:
+        v1 = jnp.sqrt(jnp.sum(src_tims * src_tims, axis=0))
+        v2 = jnp.sqrt(jnp.sum(dst_tims * dst_tims, axis=0))
+        ratios = v2 / jnp.where(v1 > 0, v1, 1.0)
+        counts, bin_idx = scale_ratio_histogram(
+            ratios,
+            pair_active,
+            max_scale=params.hist_max_scale,
+            bins_per_unit=params.hist_bins_per_unit,
+        )
+        reduced_mask, _ = peak_bin_mask(counts, bin_idx, pair_active)
+        # Outer scale estimate comes later per basic iteration; the outer
+        # solveForScale is skipped in the estimate_scaling branch
+        # (registration.cc:744-752): reduction is purely histogram-based.
+    else:
+        # Known scale: reduced set = scale-consistency inliers over ALL TIMs
+        # with the USER noise bound (registration.cc:753-767).
+        _, inliers, _ = select_scale_inliers(
+            src_tims, dst_tims, params.noise_bound, params.cbar2, active=pair_active
+        )
+        reduced_mask = inliers
+
+    return reduced_mask, pair_active
+
+
+# =============================================================================
+# Stage 2: sample the L-sampled set for one host round
+# =============================================================================
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _sample_stage(
+    reduced_mask: jax.Array,
+    l_rate: jax.Array,
+    params: SolverParams,
+    key: jax.Array,
+    idx_i: jax.Array,
+    idx_j: jax.Array,
+    num_points: int,
+):
+    """Draw floor(|reduced| * L_sampled_rate) TIM indices without
+    replacement (registration.cc:834-895). Gumbel-top-k over the reduced
+    mask gives a uniform random subset; if the floor is 0 the whole reduced
+    set is used (registration.cc:839-847). Sizes cap at sampled_cap.
+
+    Returns (sampled tim idx_i (S,), idx_j (S,), sampled_count (),
+    sampled point mask (C,)).
+    """
+    cap = params.sampled_cap
+    reduced_size = jnp.sum(reduced_mask, dtype=jnp.int32)
+    want = jnp.floor(reduced_size.astype(jnp.float32) * l_rate).astype(jnp.int32)
+    want = jnp.where(want == 0, reduced_size, want)
+    count = jnp.minimum(want, cap)
+
+    g = jax.random.gumbel(key, reduced_mask.shape, dtype=jnp.float32)
+    score = jnp.where(reduced_mask, g, -jnp.inf)
+    _, top = jax.lax.top_k(score, cap)
+    rank_ok = jnp.arange(cap) < count
+    # Invalid slots point at pair 0 but stay masked everywhere.
+    s_i = jnp.where(rank_ok, idx_i[top], 0)
+    s_j = jnp.where(rank_ok, idx_j[top], 0)
+
+    pt_mask = jnp.zeros((num_points,), bool)
+    pt_mask = pt_mask.at[s_i].max(rank_ok)
+    pt_mask = pt_mask.at[s_j].max(rank_ok)
+    return s_i, s_j, rank_ok, count, pt_mask
+
+
+# =============================================================================
+# Stage 3: the local RANSAC loop (batched hypotheses)
+# =============================================================================
+
+
+class LocalState(NamedTuple):
+    key: jax.Array
+    warm: WarmState
+    best: WarmState  # best sampled solution so far (first_time unused)
+    best_count: jax.Array  # () int32 — best sampled inlier count
+    local_r: jax.Array  # () int32
+    pro_local: jax.Array  # ()
+    iterations: jax.Array  # () int32 — batches consumed
+    hypotheses: jax.Array  # () int32 — hypotheses consumed
+    escalate: jax.Array  # () bool — stagnation triggered
+    done: jax.Array  # () bool
+
+
+def _similar(
+    sol_scale, sol_rot, sol_trans, warm: WarmState, params: SolverParams
+) -> jax.Array:
+    """Early-accept similarity test (registration.cc:1261-1264): scale within
+    scale_noise, geodesic rotation distance within rotation_similar, and
+    translation distance within translation_noise. The noise values here are
+    the inner-loop constants (the reference reads its globals, which the
+    inner override pins to 2*0.05 and 0.05)."""
+    scale_noise = 2.0 * params.inner_noise_bound * np.sqrt(params.inner_cbar2)
+    trans_noise = params.inner_noise_bound * np.sqrt(params.inner_cbar2)
+    return (
+        (jnp.abs(warm.scale - sol_scale) <= scale_noise)
+        & (angular_error_rad(warm.rotation, sol_rot) <= params.rotation_similar)
+        & (jnp.linalg.norm(warm.translation - sol_trans) <= trans_noise)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _local_stage(
+    ori_src: jax.Array,
+    ori_dst: jax.Array,
+    s_i: jax.Array,
+    s_j: jax.Array,
+    s_ok: jax.Array,
+    sampled_count: jax.Array,
+    sampled_pt_mask: jax.Array,
+    b_rate: jax.Array,
+    b_rate_is_one: jax.Array,
+    host_r: jax.Array,
+    warm_in: WarmState,
+    thr: jax.Array,
+    params: SolverParams,
+    key: jax.Array,
+):
+    """Run the local RANSAC loop for one host round
+    (registration.cc:903-1398) with vmapped hypothesis batches.
+
+    Returns (best sampled solution WarmState, best_count, local_r, warm_out,
+    escalate flag, hypotheses consumed).
+    """
+    mode = params.resolve_inlier_selection()
+    use_clique = mode != InlierSelectionMode.NONE
+    cap = params.sampled_cap
+    bcap = params.basic_cap
+    batch = params.hypothesis_batch
+    c = ori_src.shape[1]
+    dtype = ori_src.dtype
+
+    n_sampled_pts = jnp.maximum(jnp.sum(sampled_pt_mask), 1).astype(dtype)
+    basic_choose = jnp.floor(sampled_count.astype(dtype) * b_rate).astype(jnp.int32)
+    basic_choose = jnp.clip(basic_choose, 1, bcap)
+    # b_rate == 1.0: basic set = whole sampled set (capped).
+    basic_choose = jnp.where(b_rate_is_one, jnp.minimum(sampled_count, bcap), basic_choose)
+
+    def eval_hypothesis(hkey, warm):
+        """One basic iteration (registration.cc:908-1256) at static shapes."""
+        k_pick, k_scale = jax.random.split(hkey)
+        g = jax.random.gumbel(k_pick, (cap,), dtype=jnp.float32)
+        score = jnp.where(s_ok, g, -jnp.inf)
+        _, top = jax.lax.top_k(score, bcap)
+        sel_ok = jnp.arange(bcap) < basic_choose
+        b_i = jnp.where(sel_ok, s_i[top], 0)
+        b_j = jnp.where(sel_ok, s_j[top], 0)
+
+        # Clique point selection only at the b_rate == 1.0 escalation
+        # (registration.cc:1000-1056, 1238-1244): graph over points from the
+        # scale-consistency inliers of the basic TIM set.
+        clique_pts = None
+        if use_clique:
+            src_t = ori_src[:, b_j] - ori_src[:, b_i]
+            dst_t = ori_dst[:, b_j] - ori_dst[:, b_i]
+            _, sc_inl, _ = select_scale_inliers(
+                src_t, dst_t, params.inner_noise_bound, params.inner_cbar2,
+                active=sel_ok,
+            )
+            adj = jnp.zeros((c, c), bool)
+            adj = adj.at[b_i, b_j].max(sc_inl)
+            adj = adj.at[b_j, b_i].max(sc_inl)
+            clique_pts = jax.lax.cond(
+                b_rate_is_one,
+                lambda: greedy_clique(adj, sampled_pt_mask),
+                lambda: jnp.zeros((c,), bool),
+            )
+
+        res = basic_step(
+            ori_src,
+            ori_dst,
+            b_i,
+            b_j,
+            sel_ok,
+            params,
+            k_scale,
+            warm,
+            clique_points=clique_pts,
+            use_clique_points=b_rate_is_one if use_clique else False,
+        )
+        count, _ = score_transform(
+            ori_src, ori_dst, sampled_pt_mask, res.scale, res.rotation,
+            res.translation, thr,
+        )
+        sim = _similar(res.scale, res.rotation, res.translation, warm, params)
+        return res.scale, res.rotation, res.translation, count, sim
+
+    def batch_body(st: LocalState) -> LocalState:
+        key, sub = jax.random.split(st.key)
+        hkeys = jax.random.split(sub, batch)
+        scales, rots, transs, counts, sims = jax.vmap(
+            eval_hypothesis, in_axes=(0, None)
+        )(hkeys, st.warm)
+
+        first_time = st.warm.first_time
+        sims = sims & ~first_time  # early-accept only after first scoring
+
+        # --- replay the serial acceptance over the batch -------------------
+        t_idx = jnp.arange(batch, dtype=jnp.int32)
+        # Baseline: when warm, the serial loop re-baselines the running best
+        # to last_best's own sampled count each iteration
+        # (registration.cc:1289-1315); that equals scoring warm directly.
+        warm_count, _ = score_transform(
+            ori_src, ori_dst, sampled_pt_mask, st.warm.scale, st.warm.rotation,
+            st.warm.translation, thr,
+        )
+        baseline = jnp.where(first_time, jnp.int32(-1), warm_count)
+
+        run_best = jax.lax.cummax(jnp.maximum(counts, baseline))
+        local_r_t = st.local_r + t_idx + 1
+        w_t = run_best.astype(dtype) / n_sampled_pts
+        pro_t = 1.0 - jnp.power(1.0 - w_t, local_r_t.astype(dtype))
+
+        # Early-accept: first similar hypothesis ends the local loop with
+        # pro_local = 1 (registration.cc:1261-1282). Its local_r bump is
+        # host_r + 1 if it is the first hypothesis of the round, else 1.
+        sim_any = jnp.any(sims)
+        sim_t = jnp.argmax(sims)
+
+        stagn_t = (local_r_t >= params.local_max_iter) & (
+            pro_t <= params.stagnation_min_pro_local
+        )
+        stagn_t = stagn_t | b_rate_is_one  # registration.cc:1361
+        conf_t = pro_t > params.local_confidence
+        stop_t_mask = conf_t | stagn_t
+        stop_any = jnp.any(stop_t_mask)
+        stop_t = jnp.where(stop_any, jnp.argmax(stop_t_mask), batch - 1)
+
+        # The effective cut: earliest of early-accept and stop.
+        cut = jnp.where(sim_any & (sim_t <= stop_t), sim_t, stop_t)
+        is_sim_cut = sim_any & (sim_t <= stop_t)
+
+        # Winner among hypotheses [0..cut]: first max of counts vs baseline.
+        in_win = t_idx <= cut
+        cmask = jnp.where(in_win, counts, jnp.int32(-2147483648))
+        best_h = jnp.argmax(cmask)
+        batch_best_count = cmask[best_h]
+        take_batch = (batch_best_count > baseline) | first_time
+
+        new_best_scale = jnp.where(take_batch, scales[best_h], st.warm.scale)
+        new_best_rot = jnp.where(take_batch, rots[best_h], st.warm.rotation)
+        new_best_trans = jnp.where(take_batch, transs[best_h], st.warm.translation)
+        new_best_count = jnp.maximum(batch_best_count, baseline)
+
+        # Early-accept overrides the winner with the similar hypothesis and
+        # skips count bookkeeping (registration.cc:1278-1281).
+        new_best_scale = jnp.where(is_sim_cut, scales[sim_t], new_best_scale)
+        new_best_rot = jnp.where(is_sim_cut, rots[sim_t], new_best_rot)
+        new_best_trans = jnp.where(is_sim_cut, transs[sim_t], new_best_trans)
+
+        consumed = cut + 1
+        sampled_first = st.hypotheses == 0
+        sim_bump = jnp.where(sampled_first & is_sim_cut, host_r + 1, consumed)
+        new_local_r = st.local_r + jnp.where(is_sim_cut, sim_bump, consumed)
+
+        pro_after = jnp.where(is_sim_cut | stop_any, 1.0, pro_t[batch - 1])
+        pro_after = jnp.where(
+            stop_any & ~is_sim_cut & conf_t[stop_t], pro_t[stop_t], pro_after
+        )
+        done = is_sim_cut | stop_any
+        escalate = st.escalate | (stop_any & ~is_sim_cut & stagn_t[stop_t] & ~conf_t[stop_t])
+
+        new_warm = WarmState(
+            scale=new_best_scale,
+            rotation=new_best_rot,
+            translation=new_best_trans,
+            first_time=jnp.zeros((), bool),
+        )
+        return LocalState(
+            key=key,
+            warm=new_warm,
+            best=new_warm,
+            best_count=jnp.where(is_sim_cut, st.best_count, new_best_count),
+            local_r=new_local_r,
+            pro_local=pro_after,
+            iterations=st.iterations + 1,
+            hypotheses=st.hypotheses + consumed,
+            escalate=escalate,
+            done=done,
+        )
+
+    init = LocalState(
+        key=key,
+        warm=warm_in,
+        best=warm_in,
+        best_count=jnp.int32(0),
+        local_r=jnp.int32(0),
+        pro_local=jnp.zeros((), dtype),
+        iterations=jnp.int32(0),
+        hypotheses=jnp.int32(0),
+        escalate=jnp.zeros((), bool),
+        done=jnp.zeros((), bool),
+    )
+    # Hard ceiling on batches as a safety net: the serial loop is bounded by
+    # local_max_iter-driven stagnation, so ceil(local_max_iter/batch) + 2
+    # batches always suffice.
+    max_batches = max(2, -(-params.local_max_iter // params.hypothesis_batch) + 2)
+    final = jax.lax.while_loop(
+        lambda st: (~st.done) & (st.iterations < max_batches), batch_body, init
+    )
+    return final
+
+
+# =============================================================================
+# Stage 4: host scoring + probabilistic self-update bookkeeping
+# =============================================================================
+
+
+class HostState(NamedTuple):
+    inlier_counter: jax.Array  # (C,) int32 — weightedSVD weights
+    inlier_history: jax.Array  # (C,) int32 in {-1, 0, 1}
+    residual_history: jax.Array  # (C,)
+    final_inliers: jax.Array  # (C,) int32 {0, 1}
+    keep_mask: jax.Array  # (C,) int32 {1, 0, -1}
+    active: jax.Array  # (C,) bool — current correspondence set
+    inl_kept: jax.Array  # (C,) bool — kept host-inliers (inlier_map)
+    best: WarmState  # best host solution
+    best_count: jax.Array  # () int32
+    host_r: jax.Array  # () int32
+    pro_host: jax.Array  # ()
+
+    @staticmethod
+    def initial(c: int, keep_mask: jax.Array, dtype=jnp.float32) -> "HostState":
+        return HostState(
+            inlier_counter=jnp.zeros((c,), jnp.int32),
+            inlier_history=jnp.full((c,), -1, jnp.int32),
+            residual_history=jnp.zeros((c,), dtype),
+            final_inliers=jnp.zeros((c,), jnp.int32),
+            keep_mask=keep_mask,
+            active=keep_mask == 1,
+            inl_kept=jnp.zeros((c,), bool),
+            best=WarmState.initial(dtype),
+            best_count=jnp.int32(0),
+            host_r=jnp.int32(0),
+            pro_host=jnp.zeros((), dtype),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _host_stage(
+    ori_src: jax.Array,
+    ori_dst: jax.Array,
+    hs: HostState,
+    best_sampled: WarmState,
+    local_r: jax.Array,
+    b_rate_is_one: jax.Array,
+    thr: jax.Array,
+    params: SolverParams,
+    key: jax.Array,
+):
+    """Host scoring of the local round's winner on the ORIGINAL set plus the
+    probabilistic self-update bookkeeping (registration.cc:1399-1488).
+
+    Returns (new HostState, new_corr mask (C,) bool).
+    """
+    c = ori_src.shape[1]
+    dtype = ori_src.dtype
+    host_r = hs.host_r + local_r
+
+    moved = best_sampled.scale * (
+        mm(best_sampled.rotation, ori_src) + best_sampled.translation[:, None]
+    )
+    res = jnp.sqrt(jnp.sum((ori_dst - moved) ** 2, axis=0))
+    is_inl = res <= thr
+    curr_count = jnp.sum(is_inl, dtype=jnp.int32)
+
+    inlier_counter = hs.inlier_counter + is_inl.astype(jnp.int32)
+
+    # Probabilistic re-admission (registration.cc:1428-1436): a point outside
+    # the current set (keep == 0) becomes a new correspondence if its history
+    # is fresh (-1) / inlier (1), or — when previously an outlier — with
+    # probability P(inlier | residual) from the chi(3) survival function.
+    u = jax.random.uniform(key, (c,), dtype=dtype)
+    p_in = inlier_probability(res, params.noise_bound_dataset)
+    readmit_ok = (
+        (hs.inlier_history == -1)
+        | (hs.inlier_history == 1)
+        | ((hs.inlier_history == 0) & (u <= p_in))
+    )
+    new_corr = is_inl & (hs.keep_mask == 0) & readmit_ok
+
+    # Demotion on miss (published intent of the buggy registration.cc:1438;
+    # see module docstring): previously-outlier points, and previously-inlier
+    # points failing a survival draw on their *previous* residual, lose their
+    # final-inlier flag.
+    p_prev = inlier_probability(hs.residual_history, params.noise_bound_dataset)
+    demote = (~is_inl) & (
+        (hs.inlier_history == 0) | ((hs.inlier_history == 1) & (u > p_prev))
+    )
+
+    final_inliers = hs.final_inliers
+    final_inliers = jnp.where(new_corr, 1, final_inliers)
+    kept_inl = is_inl & (hs.keep_mask == 1)
+    final_inliers = jnp.where(kept_inl, 1, final_inliers)
+    final_inliers = jnp.where(demote, 0, final_inliers)
+
+    inlier_history = jnp.where(is_inl, 1, 0)
+    residual_history = res
+
+    # Host best update (registration.cc:1454-1462).
+    take = (
+        (curr_count > hs.best_count)
+        | (hs.pro_host == 0.0)
+        | (b_rate_is_one & (curr_count >= hs.best_count))
+    )
+    best = WarmState(
+        scale=jnp.where(take, best_sampled.scale, hs.best.scale),
+        rotation=jnp.where(take, best_sampled.rotation, hs.best.rotation),
+        translation=jnp.where(take, best_sampled.translation, hs.best.translation),
+        first_time=jnp.zeros((), bool),
+    )
+    best_count = jnp.where(take, curr_count, hs.best_count)
+    w = best_count.astype(dtype) / jnp.asarray(c, dtype)
+    pro_host = 1.0 - jnp.power(1.0 - w, host_r.astype(dtype))
+
+    new_hs = HostState(
+        inlier_counter=inlier_counter,
+        inlier_history=inlier_history,
+        residual_history=residual_history,
+        final_inliers=final_inliers,
+        keep_mask=jnp.where(new_corr, 1, hs.keep_mask),
+        active=hs.active | new_corr,
+        inl_kept=kept_inl,
+        best=best,
+        best_count=best_count,
+        host_r=host_r,
+        pro_host=pro_host,
+    )
+    return new_hs, new_corr
+
+
+@jax.jit
+def _self_update_pairs(
+    reduced_mask: jax.Array,
+    idx_i: jax.Array,
+    idx_j: jax.Array,
+    new_corr: jax.Array,
+    inl_kept: jax.Array,
+):
+    """Append the self-update TIMs to the reduced set
+    (registration.cc:786-832): every pair between a newly admitted point and
+    the kept host-inlier points (inlier_map) or another new point."""
+    member = inl_kept | new_corr
+    ni, nj = new_corr[idx_i], new_corr[idx_j]
+    mi, mj = member[idx_i], member[idx_j]
+    add = (ni & mj) | (nj & mi)
+    return reduced_mask | add
+
+
+# =============================================================================
+# Stage 5: weighted-SVD refinement + RMSE gate
+# =============================================================================
+
+
+@jax.jit
+def _finalize_stage(
+    ori_src: jax.Array,
+    ori_dst: jax.Array,
+    hs: HostState,
+    best_sampled: WarmState,
+):
+    """weightedSVD refinement seeded from the *sampled* best
+    (registration.cc:1502-1525: init_transform uses rotation/translation_
+    best_sampled) with per-point inlier-hit-count weights, accepted only if
+    the masked RMSE over final_inliers improves."""
+    w = hs.inlier_counter.astype(ori_src.dtype)
+    moved = mm(best_sampled.rotation, ori_src) + best_sampled.translation[:, None]
+    r_fit, t_fit = weighted_procrustes_srt(moved, ori_dst, w)
+    # combined = final * initial (registration.cc:566).
+    r_adj = mm(r_fit, best_sampled.rotation)
+    t_adj = mm(r_fit, best_sampled.translation) + t_fit
+
+    mask = hs.final_inliers == 1
+    rmse_adj = masked_rmse(ori_src, ori_dst, mask, r_adj, t_adj)
+    rmse_ori = masked_rmse(
+        ori_src, ori_dst, mask, best_sampled.rotation, best_sampled.translation
+    )
+    better = rmse_adj < rmse_ori
+    rotation = jnp.where(better, r_adj, hs.best.rotation)
+    translation = jnp.where(better, t_adj, hs.best.translation)
+    return rotation, translation, better
+
+
+# =============================================================================
+# Orchestration
+# =============================================================================
+
+
+def psulvsb_solve(
+    ori_src,
+    ori_dst,
+    keep_mask,
+    params: SolverParams,
+    key: jax.Array,
+) -> tuple[RegistrationSolution, dict]:
+    """Full PSULVSB solve.
+
+    ori_src/ori_dst: (3, C) original correspondence matrices (padded columns
+    allowed via keep_mask == -1 entries at the tail... callers should pad
+    with keep_mask=-1 so padded points are never scored).
+    keep_mask: (C,) int32 {1, 0, -1} from the histogram pre-filter.
+
+    The host-round loop runs in Python (5 rounds max, wall-clock budget
+    between rounds — the reference checks time at the same boundary,
+    registration.cc:1475); all heavy stages are jitted.
+    """
+    t_start = time.monotonic()
+    ori_src = jnp.asarray(ori_src)
+    ori_dst = jnp.asarray(ori_dst)
+    keep_mask = jnp.asarray(keep_mask, jnp.int32)
+    c = ori_src.shape[1]
+    dtype = ori_src.dtype
+
+    ii_np, jj_np = triu_pair_indices(c)
+    idx_i, idx_j = jnp.asarray(ii_np), jnp.asarray(jj_np)
+
+    key, k_init = jax.random.split(key)
+    reduced_mask, pair_active = _init_stage(ori_src, ori_dst, keep_mask, params, k_init)
+
+    n_reduced_pts = int(jnp.sum(keep_mask == 1))
+    # adoptive_thr_multiplier = 1 + |reduced| / |ori| (registration.cc:669).
+    n_real = int(jnp.sum(keep_mask >= -1))  # all C columns count as ori
+    thr = jnp.asarray(params.pr_noise * (1.0 + n_reduced_pts / max(n_real, 1)), dtype)
+
+    hs = HostState.initial(c, keep_mask, dtype)
+    warm = WarmState.initial(dtype)
+    rate_idx = 0
+    longholi = False
+    best_sampled = warm
+    rounds = 0
+
+    for _round in range(params.max_host_rounds):
+        rounds += 1
+        l_rate, b_rate = RATE_SCHEDULE[rate_idx]
+        b_one = jnp.asarray(b_rate >= 1.0)
+
+        key, k_samp, k_local, k_host = jax.random.split(key, 4)
+        s_i, s_j, s_ok, s_count, s_pts = _sample_stage(
+            reduced_mask, jnp.asarray(l_rate, dtype), params, k_samp, idx_i, idx_j, c
+        )
+
+        local = _local_stage(
+            ori_src, ori_dst, s_i, s_j, s_ok, s_count, s_pts,
+            jnp.asarray(b_rate, dtype), b_one, hs.host_r, warm, thr, params, k_local,
+        )
+        best_sampled = local.best
+
+        hs, new_corr = _host_stage(
+            ori_src, ori_dst, hs, best_sampled, local.local_r, b_one, thr, params,
+            k_host,
+        )
+        warm = WarmState(
+            scale=hs.best.scale,
+            rotation=hs.best.rotation,
+            translation=hs.best.translation,
+            first_time=jnp.zeros((), bool),
+        )
+
+        # Stop checks at the host boundary (registration.cc:1475-1484).
+        elapsed = time.monotonic() - t_start
+        if (
+            float(hs.pro_host) > params.host_confidence
+            or longholi
+            or elapsed > params.time_budget_s
+        ):
+            break
+        if rate_idx == len(RATE_SCHEDULE) - 1:
+            longholi = True
+
+        # Rate escalation decided inside the local loop takes effect on the
+        # next host round (registration.cc:1377-1388).
+        if bool(local.escalate) and rate_idx < len(RATE_SCHEDULE) - 1:
+            rate_idx += 1
+
+        # Self-update: fold newly admitted points into the reduced TIM set.
+        if int(jnp.sum(new_corr)) > 0:
+            reduced_mask = _self_update_pairs(
+                reduced_mask, idx_i, idx_j, new_corr, hs.inl_kept
+            )
+
+    # Final refinement (registration.cc:1499-1528).
+    if int(hs.best_count) != 0:
+        rotation, translation, refined = _finalize_stage(
+            ori_src, ori_dst, hs, best_sampled
+        )
+    else:
+        rotation, translation = hs.best.rotation, hs.best.translation
+        refined = jnp.zeros((), bool)
+
+    solution = RegistrationSolution(
+        valid=jnp.ones((), bool),
+        scale=hs.best.scale,
+        rotation=rotation,
+        translation=translation,
+        final_inlier_count=hs.best_count,
+    )
+    info = {
+        "pro_host": hs.pro_host,
+        "host_r": hs.host_r,
+        "rounds": rounds,
+        "refined": refined,
+        "inlier_counter": hs.inlier_counter,
+        "final_inliers": hs.final_inliers,
+        "elapsed_s": time.monotonic() - t_start,
+    }
+    return solution, info

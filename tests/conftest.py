@@ -1,0 +1,33 @@
+"""Test configuration: run on a virtual 8-device CPU mesh so sharding tests
+work without TPU hardware, with deterministic seeds. Must set XLA flags
+before jax initializes."""
+
+import os
+
+# Hard-set (not setdefault): the surrounding environment pins
+# JAX_PLATFORMS=axon (remote TPU tunnel), which would make unit tests both
+# slow (RPC per dispatch) and imprecise (bf16 default matmul).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize hook calls jax.config.update("jax_platforms",
+# "axon,cpu") during registration, overriding the env var — override it back.
+jax.config.update("jax_platforms", "cpu")
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12345)

@@ -1,0 +1,116 @@
+"""Unit tests for the scalar robust estimators, with the golden values of the
+reference's tls-test.cc (TEASER-plusplus/test/teaser/tls-test.cc:21-140:
+MATLAB-derived estimates 0.8383 / 0.6425 and inlier masks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psulvsb_tpu.robust.scalar_tls import tls_vote, max_stabbing, scale_consensus_1pt
+
+
+class TestTlsVote:
+    def test_no_outlier(self):
+        x = jnp.array([0.5, 1.0, 0.6, 0.7, 1.2])
+        r = jnp.array([0.9, 0.9, 0.4, 0.5, 0.4])
+        est, inl = tls_vote(x, r)
+        assert est == pytest.approx(0.8383, abs=1e-3)
+        np.testing.assert_array_equal(np.asarray(inl), [True] * 5)
+
+    def test_one_outlier(self):
+        x = jnp.array([0.5, 1.0, 0.6, 0.7, 1.2, 10.0])
+        r = jnp.array([0.9, 0.9, 0.4, 0.5, 0.4, 0.5])
+        est, inl = tls_vote(x, r)
+        assert est == pytest.approx(0.8383, abs=1e-3)
+        np.testing.assert_array_equal(np.asarray(inl), [True] * 5 + [False])
+
+    def test_three_outliers(self):
+        x = jnp.array([0.5, 1.0, 0.6, 20.0, 16.0, 10.0])
+        r = jnp.array([0.9, 0.9, 0.4, 0.5, 0.4, 0.5])
+        est, inl = tls_vote(x, r)
+        assert est == pytest.approx(0.6425, abs=1e-3)
+        np.testing.assert_array_equal(
+            np.asarray(inl), [True, True, True, False, False, False]
+        )
+
+    def test_padding_invariance(self):
+        """Padded lanes must not change the estimate."""
+        x = jnp.array([0.5, 1.0, 0.6, 0.7, 1.2, 10.0])
+        r = jnp.array([0.9, 0.9, 0.4, 0.5, 0.4, 0.5])
+        est0, _ = tls_vote(x, r)
+        xp = jnp.concatenate([x, jnp.zeros(10)])
+        rp = jnp.concatenate([r, jnp.full(10, 0.1)])
+        active = jnp.arange(16) < 6
+        est1, inl1 = tls_vote(xp, rp, active=active)
+        assert est1 == pytest.approx(float(est0), abs=1e-6)
+        assert not bool(jnp.any(inl1[6:]))
+
+
+class TestMaxStabbing:
+    def test_simple_consensus(self):
+        # 4 points near 2.0, 2 far away — stabbing must find the cluster mean.
+        x = jnp.array([1.9, 2.0, 2.05, 2.1, 7.0, -3.0])
+        est, inl = max_stabbing(x, 0.2)
+        assert est == pytest.approx((1.9 + 2.0 + 2.05 + 2.1) / 4, abs=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(inl), [True, True, True, True, False, False]
+        )
+
+    def test_warm_interval_participates(self):
+        # Two symmetric 2-clusters; warm value breaks the tie toward its own.
+        x = jnp.array([0.0, 0.1, 5.0, 5.1])
+        est_a, _ = max_stabbing(x, 0.2, warm_value=jnp.asarray(5.05), use_warm=True)
+        assert est_a == pytest.approx((5.0 + 5.1 + 5.05) / 3, abs=1e-5)
+        est_b, _ = max_stabbing(x, 0.2, warm_value=jnp.asarray(0.05), use_warm=True)
+        assert est_b == pytest.approx((0.0 + 0.1 + 0.05) / 3, abs=1e-5)
+
+    def test_padding_invariance(self):
+        x = jnp.array([1.9, 2.0, 2.05, 2.1, 7.0, -3.0])
+        est0, _ = max_stabbing(x, 0.2)
+        xp = jnp.concatenate([x, jnp.full(10, 99.0)])
+        active = jnp.arange(16) < 6
+        est1, inl1 = max_stabbing(xp, 0.2, active=active)
+        assert est1 == pytest.approx(float(est0), abs=1e-6)
+        assert not bool(jnp.any(inl1[6:]))
+
+
+class TestScaleConsensus:
+    def test_recovers_dominant_scale(self, key):
+        rng = np.random.default_rng(0)
+        true = 1.7
+        inliers = true + rng.uniform(-0.05, 0.05, size=80)
+        outliers = rng.uniform(0.1, 10.0, size=120)
+        x = jnp.asarray(np.concatenate([inliers, outliers]), jnp.float32)
+        r = jnp.full((200,), 0.06, jnp.float32)
+        est, inl = scale_consensus_1pt(x, r, key)
+        assert est == pytest.approx(true, abs=0.05)
+        # Inlier mask is computed from the pre-refinement candidate
+        # (reference registration.cc:107), so the window may be offset from
+        # the mode by up to one range — expect a solid majority, not all.
+        assert int(jnp.sum(inl[:80])) >= 40
+        assert int(jnp.sum(inl[:80])) > int(jnp.sum(inl[80:]))
+
+    def test_warm_start_wins_when_good(self, key):
+        """With a warm value exactly at the mode, candidate 0 reaches
+        confidence immediately and the refined estimate stays at the mode."""
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(
+            np.concatenate([2.0 + rng.uniform(-0.01, 0.01, 90), rng.uniform(5, 9, 10)]),
+            jnp.float32,
+        )
+        r = jnp.full((100,), 0.02, jnp.float32)
+        est, _ = scale_consensus_1pt(
+            x, r, key, warm_value=jnp.asarray(2.0, jnp.float32), use_warm=True
+        )
+        assert est == pytest.approx(2.0, abs=0.01)
+
+
+def test_jit_and_grad_safety():
+    """All estimators must be jittable."""
+    x = jnp.array([0.5, 1.0, 0.6, 0.7, 1.2])
+    r = jnp.array([0.9, 0.9, 0.4, 0.5, 0.4])
+    est, _ = jax.jit(tls_vote)(x, r)
+    assert jnp.isfinite(est)
+    est2, _ = jax.jit(max_stabbing)(x, 0.3)
+    assert jnp.isfinite(est2)
