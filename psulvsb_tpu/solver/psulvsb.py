@@ -127,7 +127,7 @@ def _init_stage(
 # =============================================================================
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
+@functools.partial(jax.jit, static_argnames=("params", "num_points"))
 def _sample_stage(
     reduced_mask: jax.Array,
     l_rate: jax.Array,
@@ -145,7 +145,7 @@ def _sample_stage(
     Returns (sampled tim idx_i (S,), idx_j (S,), sampled_count (),
     sampled point mask (C,)).
     """
-    cap = params.sampled_cap
+    cap = min(params.sampled_cap, reduced_mask.shape[0])
     reduced_size = jnp.sum(reduced_mask, dtype=jnp.int32)
     want = jnp.floor(reduced_size.astype(jnp.float32) * l_rate).astype(jnp.int32)
     want = jnp.where(want == 0, reduced_size, want)
@@ -225,8 +225,8 @@ def _local_stage(
     """
     mode = params.resolve_inlier_selection()
     use_clique = mode != InlierSelectionMode.NONE
-    cap = params.sampled_cap
-    bcap = params.basic_cap
+    cap = s_i.shape[0]  # min(params.sampled_cap, L) — set by _sample_stage
+    bcap = min(params.basic_cap, cap)
     batch = params.hypothesis_batch
     c = ori_src.shape[1]
     dtype = ori_src.dtype
@@ -249,22 +249,26 @@ def _local_stage(
 
         # Clique point selection only at the b_rate == 1.0 escalation
         # (registration.cc:1000-1056, 1238-1244): graph over points from the
-        # scale-consistency inliers of the basic TIM set.
+        # scale-consistency inliers of the basic TIM set. The adjacency
+        # build + clique search live inside the cond so the (C, C) matrix
+        # is only materialized on the escalated path.
         clique_pts = None
         if use_clique:
-            src_t = ori_src[:, b_j] - ori_src[:, b_i]
-            dst_t = ori_dst[:, b_j] - ori_dst[:, b_i]
-            _, sc_inl, _ = select_scale_inliers(
-                src_t, dst_t, params.inner_noise_bound, params.inner_cbar2,
-                active=sel_ok,
-            )
-            adj = jnp.zeros((c, c), bool)
-            adj = adj.at[b_i, b_j].max(sc_inl)
-            adj = adj.at[b_j, b_i].max(sc_inl)
+
+            def run_clique():
+                src_t = ori_src[:, b_j] - ori_src[:, b_i]
+                dst_t = ori_dst[:, b_j] - ori_dst[:, b_i]
+                _, sc_inl, _ = select_scale_inliers(
+                    src_t, dst_t, params.inner_noise_bound, params.inner_cbar2,
+                    active=sel_ok,
+                )
+                adj = jnp.zeros((c, c), bool)
+                adj = adj.at[b_i, b_j].max(sc_inl)
+                adj = adj.at[b_j, b_i].max(sc_inl)
+                return greedy_clique(adj, sampled_pt_mask)
+
             clique_pts = jax.lax.cond(
-                b_rate_is_one,
-                lambda: greedy_clique(adj, sampled_pt_mask),
-                lambda: jnp.zeros((c,), bool),
+                b_rate_is_one, run_clique, lambda: jnp.zeros((c,), bool)
             )
 
         res = basic_step(
@@ -688,8 +692,13 @@ def psulvsb_solve(
         rotation, translation = hs.best.rotation, hs.best.translation
         refined = jnp.zeros((), bool)
 
+    # The reference sets valid=true unconditionally on loop exit
+    # (registration.cc:1531) and false only on the clique abort
+    # (registration.cc:1032-1036); additionally flagging the zero-inlier
+    # outcome invalid is a deliberate strengthening (failure detection,
+    # SURVEY.md §5).
     solution = RegistrationSolution(
-        valid=jnp.ones((), bool),
+        valid=hs.best_count > 0,
         scale=hs.best.scale,
         rotation=rotation,
         translation=translation,

@@ -1,0 +1,113 @@
+"""End-to-end registration tests — parity targets:
+TEASER-plusplus/test/teaser/registration-test.cc (decoupled solves with
+known transforms and outlier masks) and the synthetic PSULVSB protocol
+(examples/teaser_cpp_ply/PSULVSB.cc, 90% outliers)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psulvsb_tpu.core.metrics import angular_error_deg
+from psulvsb_tpu.core.se3 import transform_points
+from psulvsb_tpu.eval.synthetic import synthetic_cloud, make_synthetic_pair
+from psulvsb_tpu.solver.classic import solve_decoupled
+from psulvsb_tpu.solver.config import SolverParams
+from psulvsb_tpu.solver.psulvsb import psulvsb_solve
+
+
+class TestDecoupledSolve:
+    def test_rotation_only_no_outliers(self, key):
+        src = jnp.asarray(synthetic_cloud(60, seed=1))
+        pair = make_synthetic_pair(key, src, noise_bound=0.0, outlier_rate=0.0)
+        params = SolverParams(
+            noise_bound=0.01, estimate_scaling=False, noise_bound_dataset=0.01
+        )
+        sol, info = solve_decoupled(pair.src, pair.dst, params, jax.random.PRNGKey(7))
+        assert float(angular_error_deg(pair.transform.rotation, sol.rotation)) < 0.5
+        assert float(jnp.linalg.norm(sol.translation - pair.transform.translation)) < 0.05
+
+    def test_known_scale_with_outliers(self, key):
+        src = jnp.asarray(synthetic_cloud(80, seed=2))
+        pair = make_synthetic_pair(key, src, noise_bound=0.01, outlier_rate=0.4)
+        params = SolverParams(
+            noise_bound=0.05, estimate_scaling=False, noise_bound_dataset=0.05
+        )
+        sol, info = solve_decoupled(pair.src, pair.dst, params, jax.random.PRNGKey(3))
+        assert float(angular_error_deg(pair.transform.rotation, sol.rotation)) < 2.0
+        assert float(jnp.linalg.norm(sol.translation - pair.transform.translation)) < 0.15
+        # Outliers must be rejected from the final translation inliers.
+        inl = np.asarray(info["translation_inliers"])
+        out = np.asarray(pair.outlier_mask)
+        assert (inl & out).sum() == 0
+
+    def test_unknown_scale_recovery(self, key):
+        """Scaled problem: dst = s * (R src + t); the solver must recover s
+        (the decoupled path of registration-test.cc, scale ref 0.955885-style
+        fixture — here a synthetic s)."""
+        s_true = 0.9559
+        src = jnp.asarray(synthetic_cloud(60, seed=3))
+        pair = make_synthetic_pair(key, src, noise_bound=0.005, outlier_rate=0.0)
+        dst = s_true * pair.dst
+        params = SolverParams(
+            noise_bound=0.02, estimate_scaling=True, noise_bound_dataset=0.02
+        )
+        sol, _ = solve_decoupled(pair.src, dst, params, jax.random.PRNGKey(11))
+        assert float(sol.scale) == pytest.approx(s_true, abs=0.02)
+        assert float(angular_error_deg(pair.transform.rotation, sol.rotation)) < 2.0
+
+
+class TestPsulvsbSolve:
+    def test_90pct_outliers_known_scale(self, key):
+        """The published synthetic protocol (PSULVSB.cc:24-25: noise 0.05,
+        90% outliers, unknownScale=0) at reduced size."""
+        src = jnp.asarray(synthetic_cloud(150, seed=4))
+        pair = make_synthetic_pair(key, src, noise_bound=0.05, outlier_rate=0.9)
+        params = SolverParams.preset_artificial(
+            sampled_cap=1024, basic_cap=512, hypothesis_batch=8
+        )
+        keep = jnp.ones((150,), jnp.int32)
+        sol, info = psulvsb_solve(pair.src, pair.dst, keep, params, jax.random.PRNGKey(5))
+        assert bool(sol.valid)
+        re = float(angular_error_deg(pair.transform.rotation, sol.rotation))
+        te = float(jnp.linalg.norm(sol.translation - pair.transform.translation))
+        assert re < 5.0, f"rotation error {re} deg"
+        assert te < 0.3, f"translation error {te}"
+
+    def test_with_prefilter_mask(self, key):
+        """keep_mask semantics: points marked 0 are excluded from the initial
+        reduced set but remain scorable/re-admittable; -1 never participate."""
+        n = 120
+        src = jnp.asarray(synthetic_cloud(n, seed=5))
+        pair = make_synthetic_pair(key, src, noise_bound=0.05, outlier_rate=0.85)
+        keep = np.ones(n, np.int32)
+        out = np.asarray(pair.outlier_mask)
+        # Mark half the outliers as 0 (droppable) — mimicking a pre-filter
+        # that caught them.
+        drop = np.where(out)[0][::2]
+        keep[drop] = 0
+        params = SolverParams.preset_artificial(
+            sampled_cap=1024, basic_cap=512, hypothesis_batch=8
+        )
+        sol, info = psulvsb_solve(
+            pair.src, pair.dst, jnp.asarray(keep), params, jax.random.PRNGKey(9)
+        )
+        re = float(angular_error_deg(pair.transform.rotation, sol.rotation))
+        te = float(jnp.linalg.norm(sol.translation - pair.transform.translation))
+        assert re < 5.0 and te < 0.3
+
+    def test_solution_reproducible(self, key):
+        """Same key -> bit-identical solution (the reference cannot do this:
+        srand(time(NULL)), registration.cc:72,774)."""
+        src = jnp.asarray(synthetic_cloud(100, seed=6))
+        pair = make_synthetic_pair(key, src, noise_bound=0.05, outlier_rate=0.8)
+        params = SolverParams.preset_artificial(
+            sampled_cap=512, basic_cap=256, hypothesis_batch=4
+        )
+        keep = jnp.ones((100,), jnp.int32)
+        sol1, _ = psulvsb_solve(pair.src, pair.dst, keep, params, jax.random.PRNGKey(42))
+        sol2, _ = psulvsb_solve(pair.src, pair.dst, keep, params, jax.random.PRNGKey(42))
+        np.testing.assert_array_equal(np.asarray(sol1.rotation), np.asarray(sol2.rotation))
+        np.testing.assert_array_equal(
+            np.asarray(sol1.translation), np.asarray(sol2.translation)
+        )
