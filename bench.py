@@ -1,0 +1,74 @@
+"""Headline benchmark — the upstream TEASER++ bunny-demo problem shape:
+1889 correspondences, 90% outliers (the reference's only published perf
+anchor: 0.949 s solve, TEASER-plusplus/README.md:121-123; see BASELINE.md).
+
+Runs the fused single-dispatch PSULVSB solver on the real TPU chip, checks
+the solution is actually correct (RE < 5 deg, TE < 0.3 — the 3DMatch recall
+criteria), and prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from psulvsb_tpu.solver.config import SolverParams
+from psulvsb_tpu.solver.fused import psulvsb_register
+from psulvsb_tpu.eval.synthetic import synthetic_cloud, make_synthetic_pair
+from psulvsb_tpu.core.metrics import angular_error_deg
+
+BASELINE_S = 0.949  # reference bunny demo solve time (BASELINE.md)
+N_CORRS = 1889
+OUTLIER_RATE = 0.9
+
+
+def main():
+    n_repeat = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+
+    params = SolverParams.preset_artificial(
+        sampled_cap=4096, basic_cap=2048, hypothesis_batch=16
+    )
+    src = jnp.asarray(synthetic_cloud(N_CORRS, seed=0))
+    pair = make_synthetic_pair(
+        jax.random.PRNGKey(1), src, noise_bound=0.05, outlier_rate=OUTLIER_RATE
+    )
+    keep = jnp.ones((N_CORRS,), jnp.int32)
+
+    # Compile + correctness gate.
+    sol = psulvsb_register(pair.src, pair.dst, keep, jax.random.PRNGKey(0), params)
+    jax.block_until_ready(sol)
+    re = float(angular_error_deg(pair.transform.rotation, sol.rotation))
+    te = float(jnp.linalg.norm(sol.translation - pair.transform.translation))
+    ok = bool(sol.valid) and re < 5.0 and te < 0.3
+
+    times = []
+    for i in range(n_repeat):
+        k = jax.random.PRNGKey(100 + i)
+        t0 = time.perf_counter()
+        s = psulvsb_register(pair.src, pair.dst, keep, k, params)
+        jax.block_until_ready(s)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    median = times[len(times) // 2]
+
+    print(
+        json.dumps(
+            {
+                "metric": "bunny_1889corr_90pct_outliers_solve_time",
+                "value": round(median, 4),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_S / median, 2),
+                "correct": ok,
+                "rot_err_deg": round(re, 4),
+                "trans_err": round(te, 4),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Brute-force blocked k-nearest-neighbors.
+
+The reference leans on PCL/FLANN kd-trees (fpfh.cc:15-43, matcher.cc:305-335).
+Tree traversal is hostile to the TPU's execution model; a blocked dense
+distance computation feeds the MXU instead: for each query block,
+||q - p||^2 = ||q||^2 + ||p||^2 - 2 q.p — one (B, N) matmul + top_k.
+At 3-D/33-D feature width and N up to ~10^5 this is bandwidth-cheap and
+beats host kd-tree latency by orders of magnitude.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from psulvsb_tpu.utils.precision import mm
+
+
+def pairwise_sq_dists(q: jax.Array, p: jax.Array) -> jax.Array:
+    """Squared distances between (d, M) queries and (d, N) points -> (M, N)."""
+    qn = jnp.sum(q * q, axis=0)[:, None]
+    pn = jnp.sum(p * p, axis=0)[None, :]
+    cross = mm(q.T, p)
+    d = qn + pn - 2.0 * cross
+    return jnp.maximum(d, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def knn(
+    query: jax.Array,
+    points: jax.Array,
+    k: int,
+    query_active: jax.Array | None = None,
+    point_active: jax.Array | None = None,
+    block: int = 2048,
+) -> tuple[jax.Array, jax.Array]:
+    """k nearest neighbors of each query column among point columns.
+
+    query: (d, M), points: (d, N). Returns (indices (M, k), sq dists (M, k)),
+    ascending. Inactive points get +inf distance (never selected); inactive
+    queries return arbitrary results (mask downstream).
+    """
+    d, m = query.shape
+    n = points.shape[1]
+    k = min(k, n)
+    if point_active is None:
+        point_active = jnp.ones((n,), bool)
+
+    pad_m = (-m) % block
+    qpad = jnp.pad(query, ((0, 0), (0, pad_m)))
+    nblocks = qpad.shape[1] // block
+    qblocks = qpad.reshape(d, nblocks, block).transpose(1, 0, 2)  # (nb, d, B)
+
+    def one_block(qb):
+        dist = pairwise_sq_dists(qb, points)  # (B, N)
+        dist = jnp.where(point_active[None, :], dist, jnp.inf)
+        neg, idx = jax.lax.top_k(-dist, k)
+        return idx, -neg
+
+    idxs, dists = jax.lax.map(one_block, qblocks)
+    idxs = idxs.reshape(nblocks * block, k)[:m]
+    dists = dists.reshape(nblocks * block, k)[:m]
+    return idxs, dists
