@@ -1,0 +1,116 @@
+"""Clique/graph tests — parity target: graph-test.cc (Graph ops, PMC max
+clique on crafted graphs, solver modes)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from psulvsb_tpu.clique.kcore import core_numbers, greedy_clique, max_kcore_mask
+from psulvsb_tpu.clique.graph import Graph, MaxCliqueSolver, MaxCliqueSolverParams, CliqueSolverMode
+from psulvsb_tpu.clique.pmc import exact_max_clique, native_available
+
+
+def planted_clique_adj(rng, n=60, k=12, p=0.08):
+    """Random graph with a planted k-clique."""
+    adj = rng.random((n, n)) < p
+    adj = np.triu(adj, 1)
+    adj = adj | adj.T
+    members = rng.choice(n, size=k, replace=False)
+    for a in members:
+        for b in members:
+            if a != b:
+                adj[a, b] = True
+    np.fill_diagonal(adj, False)
+    return adj, set(members.tolist())
+
+
+class TestGraphClass:
+    def test_basic_ops(self):
+        g = Graph()
+        g.populateVertices(5)
+        g.addEdge(0, 1)
+        g.addEdge(1, 2)
+        assert g.numVertices() == 5
+        assert g.numEdges() == 2
+        assert g.hasEdge(0, 1) and g.hasEdge(1, 0)
+        g.removeEdge(0, 1)
+        assert not g.hasEdge(0, 1)
+        assert g.getEdges(1) == [2]
+        m = g.getAdjMatrix()
+        assert m[1, 2] and m[2, 1] and not m[0, 1]
+
+
+class TestDeviceKernels:
+    def test_core_numbers_triangle_plus_tail(self):
+        # Triangle 0-1-2 with a tail 2-3: cores = [2, 2, 2, 1].
+        adj = np.zeros((4, 4), bool)
+        for a, b in [(0, 1), (1, 2), (0, 2), (2, 3)]:
+            adj[a, b] = adj[b, a] = True
+        cores = np.asarray(core_numbers(jnp.asarray(adj)))
+        np.testing.assert_array_equal(cores, [2, 2, 2, 1])
+
+    def test_greedy_finds_planted_clique(self, rng):
+        adj, members = planted_clique_adj(rng)
+        mask = np.asarray(greedy_clique(jnp.asarray(adj)))
+        found = set(np.where(mask)[0].tolist())
+        # Greedy must find a clique at least 75% of the planted size...
+        assert len(found) >= 9
+        # ...and it must actually be a clique.
+        for a in found:
+            for b in found:
+                if a != b:
+                    assert adj[a, b]
+
+    def test_max_kcore_contains_planted(self, rng):
+        adj, members = planted_clique_adj(rng)
+        mask = np.asarray(max_kcore_mask(jnp.asarray(adj)))
+        assert members <= set(np.where(mask)[0].tolist())
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib unavailable")
+class TestNativeExact:
+    def test_exact_on_crafted_graph(self):
+        # graph-test style crafted case: two overlapping triangles + max
+        # clique {1, 2, 3, 4} (4-clique).
+        adj = np.zeros((6, 6), bool)
+        edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (2, 4), (0, 5)]
+        for a, b in edges:
+            adj[a, b] = adj[b, a] = True
+        got = exact_max_clique(adj)
+        assert got == [1, 2, 3, 4]
+
+    def test_exact_recovers_planted_clique(self, rng):
+        adj, members = planted_clique_adj(rng, n=80, k=14, p=0.1)
+        got = exact_max_clique(adj)
+        assert set(got) == members
+
+    def test_solver_facade_modes(self, rng):
+        adj, members = planted_clique_adj(rng, n=50, k=10, p=0.05)
+        g = Graph()
+        g.populateVertices(50)
+        for a in range(50):
+            for b in range(a + 1, 50):
+                if adj[a, b]:
+                    g.addEdge(a, b)
+        exact = MaxCliqueSolver(
+            MaxCliqueSolverParams(solver_mode=CliqueSolverMode.PMC_EXACT)
+        ).findMaxClique(g)
+        assert set(exact) == members
+        heu = MaxCliqueSolver(
+            MaxCliqueSolverParams(solver_mode=CliqueSolverMode.PMC_HEU)
+        ).findMaxClique(g)
+        # Heuristic result is a clique.
+        for a in heu:
+            for b in heu:
+                if a != b:
+                    assert adj[a, b]
+
+    def test_empty_graph(self):
+        g = Graph()
+        assert MaxCliqueSolver().findMaxClique(g) == []
+
+    def test_timeout_returns_best_so_far(self, rng):
+        adj, members = planted_clique_adj(rng, n=70, k=12, p=0.3)
+        got = exact_max_clique(adj, time_limit_s=1e-9)
+        # Even on instant timeout the greedy lower bound is returned.
+        assert len(got) >= 3
