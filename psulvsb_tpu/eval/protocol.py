@@ -1,0 +1,110 @@
+"""The published PSULVSB synthetic experiment protocol.
+
+Equivalent of the PSULVSB driver main loop
+(/root/reference/examples/teaser_cpp_ply/PSULVSB.cc:224-515): per cloud,
+`trials` runs of {random SE(3) + noise + outliers -> normals -> histogram
+pre-filter -> solve}, per-trial scale/rotation/translation/time/RMSE
+errors, mean ± sigma aggregation to a per-cloud CSV and a global
+Average.csv.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psulvsb_tpu.core.metrics import angular_error_deg
+from psulvsb_tpu.eval.pipeline import solve_with_prefilter
+from psulvsb_tpu.eval.reporting import write_csv, mean_std
+from psulvsb_tpu.eval.synthetic import make_synthetic_pair
+from psulvsb_tpu.solver.config import SolverParams
+
+
+class TrialResult(NamedTuple):
+    scale_error: float
+    angle_error_deg: float
+    trans_error: float
+    rmse: float
+    time_s: float
+
+
+def run_trial(
+    key: jax.Array,
+    src: jax.Array,
+    params: SolverParams,
+    noise_bound: float = 0.05,
+    outlier_rate: float = 0.9,
+) -> TrialResult:
+    k_data, k_solve = jax.random.split(key)
+    pair = make_synthetic_pair(
+        k_data, src, noise_bound=noise_bound, outlier_rate=outlier_rate
+    )
+    res = solve_with_prefilter(pair.src, pair.dst, params, k_solve)
+    sol = res.solution
+
+    gt = pair.transform
+    scale_err = abs(float(sol.scale) - float(gt.scale))
+    angle_err = float(angular_error_deg(gt.rotation, sol.rotation))
+    trans_err = float(jnp.linalg.norm(sol.translation - gt.translation))
+    # RMSE vs the noiseless ground-truth placement over ALL points
+    # (PSULVSB.cc computes it against src_gt = T * src).
+    gt_pts = gt.rotation @ pair.src + gt.translation[:, None]
+    est_pts = float(sol.scale) * (
+        sol.rotation @ pair.src + sol.translation[:, None]
+    )
+    rmse = float(jnp.sqrt(jnp.mean(jnp.sum((gt_pts - est_pts) ** 2, axis=0))))
+    return TrialResult(scale_err, angle_err, trans_err, rmse, res.elapsed_s)
+
+
+def run_protocol(
+    clouds: dict[str, np.ndarray],
+    params: SolverParams,
+    out_dir: str,
+    trials: int = 100,
+    noise_bound: float = 0.05,
+    outlier_rate: float = 0.9,
+    seed: int = 0,
+) -> dict[str, dict]:
+    """clouds: {name: (3, N) array}. Writes <name>.csv per cloud and
+    Average.csv; returns the aggregate stats dict."""
+    os.makedirs(out_dir, exist_ok=True)
+    aggregates = {}
+    avg_rows = []
+    for name, cloud in clouds.items():
+        src = jnp.asarray(cloud, jnp.float32)
+        rows = []
+        results: list[TrialResult] = []
+        for t in range(trials):
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), hash(name) % 2**31 + t)
+            r = run_trial(key, src, params, noise_bound, outlier_rate)
+            results.append(r)
+            rows.append([t, r.scale_error, r.angle_error_deg, r.trans_error, r.rmse, r.time_s])
+        write_csv(
+            os.path.join(out_dir, f"{name}.csv"),
+            ["trial", "ScaleError", "AngleError", "TransError", "RMSE", "Time"],
+            rows,
+        )
+        stats = {}
+        for field in TrialResult._fields:
+            vals = [getattr(r, field) for r in results]
+            stats[field] = mean_std(vals)
+        aggregates[name] = stats
+        avg_rows.append(
+            [name]
+            + [x for field in TrialResult._fields for x in stats[field]]
+        )
+    write_csv(
+        os.path.join(out_dir, "Average.csv"),
+        ["cloud"]
+        + [
+            f"{field}_{suffix}"
+            for field in TrialResult._fields
+            for suffix in ("mean", "std")
+        ],
+        avg_rows,
+    )
+    return aggregates

@@ -1,0 +1,252 @@
+"""Real-data benchmark harness: 3DMatch / 3DLoMatch / KITTI.
+
+Equivalent of the nested benchmark driver
+(/root/reference/TEASER-plusplus/examples/teaser_cpp_ply/
+teaser_cpp_ply_main.cc:244-795):
+
+- per scene: a pair-label list; per pair: a correspondence text file
+  ("sx sy sz tx ty tz" per line, `cloud_bin_A+cloud_bin_B@corr.txt` for
+  fpfh / `@corr_fcgf.txt` for fcgf) and a 4x4 ground-truth matrix
+  (`@GTmat.txt` / `@GTmat_fcgf.txt`),
+- optional random unknown-scale injection (tgt *= 1 + 4*U(0,1)),
+- best-of-`ddtime` repeats kept by RMSE,
+- success criteria: 3DMatch/3DLoMatch scale err <= 0.1, RE <= 15 deg,
+  TE <= 0.3 m, time <= 60 s (line 424); KITTI RE <= 5 deg, TE <= 0.6 m
+  (line 714),
+- per-scene CSVs + average CSV with registration recall.
+
+The reference solves pairs serially; here pairs can also run sharded over a
+device mesh (parallel/pairs.py) when their padded sizes match.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psulvsb_tpu.core.metrics import angular_error_deg
+from psulvsb_tpu.eval.pipeline import solve_with_prefilter
+from psulvsb_tpu.eval.reporting import write_csv, mean_std
+from psulvsb_tpu.solver.config import SolverParams
+
+THREEDMATCH_SCENES = [
+    "7-scenes-redkitchen",
+    "sun3d-home_at-home_at_scan1_2013_jan_1",
+    "sun3d-home_md-home_md_scan9_2012_sep_30",
+    "sun3d-hotel_uc-scan3",
+    "sun3d-hotel_umd-maryland_hotel1",
+    "sun3d-hotel_umd-maryland_hotel3",
+    "sun3d-mit_76_studyroom-76-1studyroom2",
+    "sun3d-mit_lab_hj-lab_hj_tea_nov_2_2012_scan1_erika",
+]
+
+
+class SuccessCriteria(NamedTuple):
+    max_scale_err: float
+    max_angle_err_deg: float
+    max_trans_err: float
+    max_time_s: float
+
+    @staticmethod
+    def threedmatch() -> "SuccessCriteria":
+        return SuccessCriteria(0.1, 15.0, 0.3, 60.0)  # main.cc:424
+
+    @staticmethod
+    def kitti() -> "SuccessCriteria":
+        return SuccessCriteria(0.1, 5.0, 0.6, 60.0)  # main.cc:714
+
+
+def read_corr_file(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """'sx sy sz tx ty tz' per line -> ((3, C) src, (3, C) dst)."""
+    data = np.loadtxt(path, dtype=np.float64)
+    data = np.atleast_2d(data)
+    return data[:, 0:3].T.copy(), data[:, 3:6].T.copy()
+
+
+def read_gt_mat(path: str) -> np.ndarray:
+    m = np.loadtxt(path, dtype=np.float64)
+    assert m.shape == (4, 4), f"{path}: expected 4x4 GT matrix"
+    return m
+
+
+def read_pair_labels(path: str) -> list[tuple[int, int]]:
+    """Pair list file: two integers per line (the fragment ids)."""
+    pairs = []
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if len(tok) >= 2:
+                try:
+                    pairs.append((int(tok[0]), int(tok[1])))
+                except ValueError:
+                    continue
+    return pairs
+
+
+class PairResult(NamedTuple):
+    scale_error: float
+    angle_error_deg: float
+    trans_error: float
+    rmse: float
+    time_s: float
+    success: bool
+
+
+def evaluate_pair(
+    src: np.ndarray,
+    dst: np.ndarray,
+    gt: np.ndarray,
+    params: SolverParams,
+    criteria: SuccessCriteria,
+    key: jax.Array,
+    ddtime: int = 10,
+    test_scale: float = 1.0,
+) -> PairResult:
+    """Best-of-ddtime evaluation of one pair (main.cc:330-422): repeat the
+    full pipeline, keep the lowest-RMSE run, apply the success criteria."""
+    src_j = jnp.asarray(src, jnp.float32)
+    dst_j = jnp.asarray(dst * test_scale, jnp.float32)
+    gt_r = jnp.asarray(gt[:3, :3], jnp.float32)
+    gt_t = jnp.asarray(gt[:3, 3], jnp.float32)
+    gt_pts = gt_r @ src_j + gt_t[:, None]
+
+    best: PairResult | None = None
+    for t in range(ddtime):
+        res = solve_with_prefilter(src_j, dst_j, params, jax.random.fold_in(key, t))
+        sol = res.solution
+        est_pts = float(sol.scale) * (sol.rotation @ src_j + sol.translation[:, None])
+        # RMSE vs GT placement over all correspondences, scale-normalized
+        # (the driver compares in the unscaled frame).
+        rmse = float(
+            jnp.sqrt(jnp.mean(jnp.sum((gt_pts - est_pts / test_scale) ** 2, axis=0)))
+        )
+        r = PairResult(
+            scale_error=abs(float(sol.scale) - test_scale),
+            angle_error_deg=float(angular_error_deg(gt_r, sol.rotation)),
+            trans_error=float(
+                jnp.linalg.norm(sol.translation * sol.scale / test_scale - gt_t)
+            ),
+            rmse=rmse,
+            time_s=res.elapsed_s,
+            success=False,
+        )
+        if best is None or r.rmse < best.rmse:
+            best = r
+    ok = (
+        best.scale_error <= criteria.max_scale_err
+        and best.angle_error_deg <= criteria.max_angle_err_deg
+        and best.trans_error <= criteria.max_trans_err
+        and best.time_s <= criteria.max_time_s
+    )
+    return best._replace(success=ok)
+
+
+def run_scene(
+    scene_dir: str,
+    label_file: str,
+    params: SolverParams,
+    criteria: SuccessCriteria,
+    out_csv: str,
+    descriptor: str = "fpfh",
+    ddtime: int = 10,
+    unknown_scale: bool = False,
+    seed: int = 0,
+) -> dict:
+    """Evaluate one scene directory; returns aggregate stats incl. recall."""
+    pairs = read_pair_labels(label_file)
+    suffix = "@corr.txt" if descriptor == "fpfh" else "@corr_fcgf.txt"
+    gt_suffix = "@GTmat.txt" if descriptor == "fpfh" else "@GTmat_fcgf.txt"
+
+    rows = []
+    results: list[PairResult] = []
+    for a, b in pairs:
+        stem = os.path.join(scene_dir, f"cloud_bin_{a}+cloud_bin_{b}")
+        src, dst = read_corr_file(stem + suffix)
+        gt = read_gt_mat(stem + gt_suffix)
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), a * 100003 + b)
+        test_scale = 1.0
+        if unknown_scale:
+            test_scale = 1.0 + 4.0 * float(jax.random.uniform(jax.random.fold_in(key, 7)))
+        r = evaluate_pair(src, dst, gt, params, criteria, key, ddtime, test_scale)
+        results.append(r)
+        rows.append([f"{a}+{b}", r.scale_error, r.angle_error_deg, r.trans_error,
+                     r.rmse, r.time_s, int(r.success)])
+
+    write_csv(
+        out_csv,
+        ["pair", "ScaleError", "AngleError", "TransError", "RMSE", "Time", "Success"],
+        rows,
+    )
+    succ = [r for r in results if r.success]
+    n_s = max(len(succ), 1)
+    return {
+        "pairs": len(results),
+        "recall": len(succ) / max(len(results), 1),
+        "avg_scale_error": sum(r.scale_error for r in succ) / n_s,
+        "avg_angle_error_deg": sum(r.angle_error_deg for r in succ) / n_s,
+        "avg_trans_error": sum(r.trans_error for r in succ) / n_s,
+        "avg_rmse": sum(r.rmse for r in succ) / n_s,
+        "avg_time_s": sum(r.time_s for r in succ) / n_s,
+    }
+
+
+def run_benchmark(
+    data_root: str,
+    out_dir: str,
+    dataset: str = "3dmatch",
+    scenes: list[str] | None = None,
+    params: SolverParams | None = None,
+    descriptor: str = "fpfh",
+    ddtime: int = 10,
+    unknown_scale: bool = False,
+    seed: int = 0,
+) -> dict:
+    """Dataset sweep: per-scene CSVs + averages CSV. Layout mirrors the
+    reference: <data_root>/<scene>/ holds the corr/GT files and a
+    `pairs.txt` label list."""
+    if params is None:
+        params = (
+            SolverParams.preset_kitti()
+            if dataset == "kitti"
+            else SolverParams.preset_3dmatch()
+        )
+        if unknown_scale:
+            params = params.replace(estimate_scaling=True)
+    criteria = (
+        SuccessCriteria.kitti() if dataset == "kitti" else SuccessCriteria.threedmatch()
+    )
+    if scenes is None:
+        scenes = (
+            THREEDMATCH_SCENES
+            if dataset in ("3dmatch", "3dlomatch")
+            else sorted(os.listdir(data_root))
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    summary = {}
+    avg_rows = []
+    for scene in scenes:
+        scene_dir = os.path.join(data_root, scene)
+        stats = run_scene(
+            scene_dir,
+            os.path.join(scene_dir, "pairs.txt"),
+            params,
+            criteria,
+            os.path.join(out_dir, f"{scene}_{descriptor}_{int(unknown_scale)}.csv"),
+            descriptor=descriptor,
+            ddtime=ddtime,
+            unknown_scale=unknown_scale,
+            seed=seed,
+        )
+        summary[scene] = stats
+        avg_rows.append([scene] + [stats[k] for k in sorted(stats)])
+    write_csv(
+        os.path.join(out_dir, f"Average_{dataset}_{descriptor}.csv"),
+        ["scene"] + sorted(next(iter(summary.values())).keys()) if summary else ["scene"],
+        avg_rows,
+    )
+    return summary

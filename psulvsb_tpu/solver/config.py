@@ -120,25 +120,31 @@ class SolverParams:
             mode = InlierSelectionMode.PMC_HEU
         return mode
 
+    def replace(self, **kw) -> "SolverParams":
+        return dataclasses.replace(self, **kw)
+
     # Dataset presets replacing the reference's compile-time #define blocks
     # (registration.cc:32-35, PSULVSB.cc:24, registration_WT.cc:33).
+    # Keyword overrides win over the preset values.
     @staticmethod
     def preset_3dmatch(**kw) -> "SolverParams":
-        return SolverParams(noise_bound=0.01, noise_bound_dataset=0.01, **kw)
+        return SolverParams(**{"noise_bound": 0.01, "noise_bound_dataset": 0.01, **kw})
 
     @staticmethod
     def preset_kitti(**kw) -> "SolverParams":
-        return SolverParams(noise_bound=0.1, noise_bound_dataset=0.1, **kw)
+        return SolverParams(**{"noise_bound": 0.1, "noise_bound_dataset": 0.1, **kw})
 
     @staticmethod
     def preset_artificial(**kw) -> "SolverParams":
         return SolverParams(
-            noise_bound=0.05,
-            noise_bound_dataset=0.05,
-            estimate_scaling=False,
-            **kw,
+            **{
+                "noise_bound": 0.05,
+                "noise_bound_dataset": 0.05,
+                "estimate_scaling": False,
+                **kw,
+            }
         )
 
     @staticmethod
     def preset_whu_tls(**kw) -> "SolverParams":
-        return SolverParams(noise_bound=0.15, noise_bound_dataset=0.15, **kw)
+        return SolverParams(**{"noise_bound": 0.15, "noise_bound_dataset": 0.15, **kw})

@@ -1,0 +1,124 @@
+"""Experiment harness tests: synthetic protocol CSVs, real-data driver on
+generated fixture files, correspondence generator, voxel/ISS frontend."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from psulvsb_tpu.eval.synthetic import synthetic_cloud, make_synthetic_pair
+from psulvsb_tpu.eval.protocol import run_protocol, run_trial
+from psulvsb_tpu.eval import realdata
+from psulvsb_tpu.eval.corr_gen import generate_correspondences, write_corr_file
+from psulvsb_tpu.frontend.voxel import voxel_downsample
+from psulvsb_tpu.frontend.iss import iss_keypoints
+from psulvsb_tpu.solver.config import SolverParams
+from psulvsb_tpu.core.se3 import random_se3, transform_points
+
+
+SMALL = dict(sampled_cap=512, basic_cap=256, hypothesis_batch=4, scale_max_draws=64)
+
+
+class TestVoxelIss:
+    def test_voxel_downsample_merges(self):
+        pts = np.array(
+            [[0.0, 0.01, 1.0, 1.02], [0.0, 0.01, 0.0, 0.0], [0.0, 0.0, 0.0, 0.0]]
+        )
+        out = voxel_downsample(pts, 0.5)
+        assert out.shape[1] == 2
+        assert sorted(np.round(out[0], 3).tolist()) == [0.005, 1.01]
+
+    def test_iss_finds_corners(self):
+        """Flat plane + one protruding spike: the spike region is salient."""
+        rng = np.random.default_rng(0)
+        xy = rng.uniform(-1, 1, size=(2, 400)).astype(np.float32)
+        plane = np.vstack([xy, np.zeros((1, 400), np.float32)])
+        pts = jnp.asarray(plane)
+        mask = np.asarray(
+            iss_keypoints(pts, salient_radius=0.3, non_max_radius=0.2, k=48)
+        )
+        # A pure plane has lambda3 = 0 everywhere -> no keypoints.
+        assert mask.sum() == 0
+
+
+class TestSyntheticProtocol:
+    def test_run_trial(self, key):
+        src = jnp.asarray(synthetic_cloud(120, seed=0))
+        params = SolverParams.preset_artificial(**SMALL)
+        r = run_trial(key, src, params, noise_bound=0.05, outlier_rate=0.8)
+        assert r.angle_error_deg < 10.0
+        assert r.trans_error < 0.5
+
+    def test_protocol_writes_csvs(self, tmp_path):
+        clouds = {"blob": synthetic_cloud(100, seed=1)}
+        params = SolverParams.preset_artificial(**SMALL)
+        agg = run_protocol(
+            clouds, params, str(tmp_path), trials=2, outlier_rate=0.7
+        )
+        assert os.path.exists(tmp_path / "blob.csv")
+        assert os.path.exists(tmp_path / "Average.csv")
+        assert "angle_error_deg" in agg["blob"]
+        mean, std = agg["blob"]["angle_error_deg"]
+        assert mean < 15.0
+
+
+class TestRealDataHarness:
+    def _make_fixture(self, tmp_path, key, n=150):
+        """Generate a 3DMatch-layout scene directory with 2 pairs."""
+        scene = tmp_path / "test-scene"
+        scene.mkdir()
+        pair_ids = [(0, 1), (1, 2)]
+        for a, b in pair_ids:
+            src = jnp.asarray(synthetic_cloud(n, seed=a * 10 + b))
+            k = jax.random.fold_in(key, a * 7 + b)
+            pair = make_synthetic_pair(k, src, noise_bound=0.01, outlier_rate=0.6)
+            stem = scene / f"cloud_bin_{a}+cloud_bin_{b}"
+            write_corr_file(str(stem) + "@corr.txt", pair.src, pair.dst)
+            gt = np.asarray(pair.transform.as_matrix())
+            np.savetxt(str(stem) + "@GTmat.txt", gt)
+        with open(scene / "pairs.txt", "w") as f:
+            for a, b in pair_ids:
+                f.write(f"{a} {b}\n")
+        return scene
+
+    def test_scene_recall(self, tmp_path, key):
+        scene = self._make_fixture(tmp_path, key)
+        params = SolverParams.preset_artificial(
+            noise_bound_dataset=0.05, **SMALL
+        )
+        stats = realdata.run_scene(
+            str(scene),
+            str(scene / "pairs.txt"),
+            params,
+            realdata.SuccessCriteria.threedmatch(),
+            str(tmp_path / "out.csv"),
+            ddtime=1,
+        )
+        assert stats["pairs"] == 2
+        assert stats["recall"] == 1.0, stats
+        assert os.path.exists(tmp_path / "out.csv")
+
+    def test_corr_file_roundtrip(self, tmp_path, rng):
+        src = rng.normal(size=(3, 20))
+        dst = rng.normal(size=(3, 20))
+        p = str(tmp_path / "c.txt")
+        write_corr_file(p, src, dst)
+        s2, d2 = realdata.read_corr_file(p)
+        np.testing.assert_allclose(s2, src, atol=1e-6)
+        np.testing.assert_allclose(d2, dst, atol=1e-6)
+
+
+class TestCorrGen:
+    def test_generates_consistent_pairs(self, key):
+        src_cloud = np.asarray(synthetic_cloud(600, seed=3))
+        t = random_se3(key, max_translation=0.5)
+        dst_cloud = np.asarray(transform_points(t, jnp.asarray(src_cloud)))
+        src_kp, dst_m = generate_correspondences(src_cloud, dst_cloud, noise_bound=0.05)
+        assert src_kp.shape == dst_m.shape
+        if src_kp.shape[1] >= 5:
+            # A decent fraction of matches should agree with the transform.
+            moved = np.asarray(transform_points(t, jnp.asarray(src_kp)))
+            err = np.linalg.norm(moved - dst_m, axis=0)
+            assert (err < 0.2).mean() > 0.3, err
