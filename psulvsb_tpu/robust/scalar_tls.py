@@ -228,3 +228,48 @@ def max_stabbing(
 
     inliers = (jnp.abs(x - estimate) <= noise) & active
     return estimate, inliers
+
+
+class ScalarTLSEstimator:
+    """Class facade mirroring teaser::ScalarTLSEstimator
+    (registration.h:107-133). `estimate` reproduces the PSULVSB-modified
+    dual-mode behavior via explicit arguments instead of the reference's
+    STswitch/first_time globals (registration.cc:41-42); `estimate_tiled`
+    is the stock adaptive-voting estimator."""
+
+    def __init__(self, key=None):
+        import jax
+
+        self._key = key if key is not None else jax.random.PRNGKey(0)
+
+    def estimate(self, x, ranges, mode: str = "scale", warm_value=None,
+                 noise=None):
+        """mode="scale": 1-point RANSAC consensus (STswitch == 0 path);
+        mode="translation": max-interval stabbing (STswitch >= 1 path;
+        `noise` is the per-axis translation noise, default ranges[0])."""
+        import jax
+
+        x = jnp.asarray(x)
+        ranges = jnp.asarray(ranges)
+        if mode == "scale":
+            self._key, sub = jax.random.split(self._key)
+            return scale_consensus_1pt(
+                x, ranges, sub,
+                warm_value=None if warm_value is None else jnp.asarray(warm_value),
+                use_warm=warm_value is not None,
+            )
+        if mode == "translation":
+            n = ranges[0] if noise is None else jnp.asarray(noise)
+            return max_stabbing(
+                x, n,
+                warm_value=None if warm_value is None else jnp.asarray(warm_value),
+                use_warm=warm_value is not None,
+            )
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def estimate_tiled(self, x, ranges, s: int = 64):
+        """Stock TEASER adaptive voting (registration.cc:206-320). The tile
+        size `s` is a CPU cache-blocking knob with no TPU meaning; accepted
+        for signature parity and ignored."""
+        del s
+        return tls_vote(jnp.asarray(x), jnp.asarray(ranges))

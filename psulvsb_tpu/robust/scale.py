@@ -84,3 +84,39 @@ def select_scale_inliers(
     beta = 2.0 * jnp.asarray(noise_bound, v1.dtype) * jnp.sqrt(jnp.asarray(cbar2, v1.dtype))
     inliers = (jnp.abs(v1 - v2) <= beta) & active
     return jnp.ones((), dtype=v1.dtype), inliers, beta
+
+
+class TLSScaleSolver:
+    """Facade of teaser::TLSScaleSolver (registration.h:138-166)."""
+
+    def __init__(self, noise_bound: float, cbar2: float, seed: int = 0):
+        import jax
+
+        self.noise_bound = noise_bound
+        self.cbar2 = cbar2
+        self._key = jax.random.PRNGKey(seed)
+
+    def solveForScale(self, src_tims, dst_tims):
+        import jax
+
+        self._key, sub = jax.random.split(self._key)
+        scale, inliers, _ = solve_scale_tls(
+            jnp.asarray(src_tims), jnp.asarray(dst_tims),
+            self.noise_bound, self.cbar2, sub,
+        )
+        return scale, inliers
+
+
+class ScaleInliersSelector:
+    """Facade of teaser::ScaleInliersSelector (registration.h:168-189)."""
+
+    def __init__(self, noise_bound: float, cbar2: float):
+        self.noise_bound = noise_bound
+        self.cbar2 = cbar2
+
+    def solveForScale(self, src_tims, dst_tims):
+        scale, inliers, _ = select_scale_inliers(
+            jnp.asarray(src_tims), jnp.asarray(dst_tims),
+            self.noise_bound, self.cbar2,
+        )
+        return scale, inliers

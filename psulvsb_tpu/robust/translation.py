@@ -44,3 +44,17 @@ def solve_translation(
     est, inl = jax.vmap(solve_axis)(raw, warm_translation)
     inliers = jnp.all(inl, axis=0) & active
     return est, inliers, beta
+
+
+class TLSTranslationSolver:
+    """Facade of teaser::TLSTranslationSolver (registration.h:194-217)."""
+
+    def __init__(self, noise_bound: float, cbar2: float):
+        self.noise_bound = noise_bound
+        self.cbar2 = cbar2
+
+    def solveForTranslation(self, src, dst):
+        t, inliers, _ = solve_translation(
+            jnp.asarray(src), jnp.asarray(dst), self.noise_bound, self.cbar2
+        )
+        return t, inliers

@@ -144,3 +144,24 @@ def gnc_tls_rotation(
         cost=final.cost,
         iterations=final.i,
     )
+
+
+class GNCTLSRotationSolver:
+    """Facade of teaser::GNCTLSRotationSolver (registration.h:267-295)."""
+
+    def __init__(self, noise_bound: float = 0.01, cost_threshold: float = 1e-6,
+                 gnc_factor: float = 1.4, max_iterations: int = 100):
+        self.noise_bound = noise_bound
+        self.cost_threshold = cost_threshold
+        self.gnc_factor = gnc_factor
+        self.max_iterations = max_iterations
+
+    def solveForRotation(self, src, dst, warm_rotation=None):
+        res = gnc_tls_rotation(
+            jnp.asarray(src), jnp.asarray(dst), self.noise_bound,
+            max_iterations=self.max_iterations, gnc_factor=self.gnc_factor,
+            cost_threshold=self.cost_threshold,
+            warm_rotation=None if warm_rotation is None else jnp.asarray(warm_rotation),
+            use_warm=warm_rotation is not None,
+        )
+        return res.rotation, res.inliers

@@ -94,6 +94,16 @@ class SolverParams:
     hist_max_scale: float = 10000.0
     hist_bins_per_unit: int = 20
 
+    # --- algorithm-variant switches ----------------------------------------
+    # The reference ships the PSULVSB family as separate source files
+    # (SURVEY.md §0): registration_best.cc == the canonical algorithm (both
+    # flags on); registration_WT.cc == the prior C-RANSAC baseline (no
+    # probabilistic self-update, no weighted-SVD refinement); the nested
+    # 2025-07-30 registration.cc == self-update commented out. Here they are
+    # config flags.
+    enable_self_update: bool = True
+    enable_refinement: bool = True
+
     # --- TPU capacity knobs (static shapes replacing dynamic resizes) ------
     # Upper bound on TIM indices kept in the sampled set per host round.
     sampled_cap: int = 4096
@@ -148,3 +158,27 @@ class SolverParams:
     @staticmethod
     def preset_whu_tls(**kw) -> "SolverParams":
         return SolverParams(**{"noise_bound": 0.15, "noise_bound_dataset": 0.15, **kw})
+
+    # Variant presets (SURVEY.md §0 ground truth on variants).
+    @staticmethod
+    def preset_cransac_wt(**kw) -> "SolverParams":
+        """registration_WT.cc: prior C-RANSAC baseline — NOISE_BOUND 0.05,
+        no self-update, no weighted-SVD refinement."""
+        return SolverParams(
+            **{
+                "noise_bound": 0.05,
+                "noise_bound_dataset": 0.05,
+                "enable_self_update": False,
+                "enable_refinement": False,
+                **kw,
+            }
+        )
+
+    @staticmethod
+    def preset_psulvsb_2025_07(**kw) -> "SolverParams":
+        """Nested TEASER-plusplus/teaser/src/registration.cc (2025-07-30
+        experiment): self-update block commented out, outer bound from
+        ransac_max_iterations = 5."""
+        return SolverParams(
+            **{"enable_self_update": False, "max_host_rounds": 5, **kw}
+        )

@@ -143,11 +143,14 @@ def psulvsb_register(
     final, _ = jax.lax.scan(round_body, init, None, length=params.max_host_rounds)
 
     hs = final.hs
-    rotation, translation, _refined = jax.lax.cond(
-        hs.best_count > 0,
-        lambda: _finalize_stage(ori_src, ori_dst, hs, final.best_sampled),
-        lambda: (hs.best.rotation, hs.best.translation, jnp.zeros((), bool)),
-    )
+    if params.enable_refinement:
+        rotation, translation, _refined = jax.lax.cond(
+            hs.best_count > 0,
+            lambda: _finalize_stage(ori_src, ori_dst, hs, final.best_sampled),
+            lambda: (hs.best.rotation, hs.best.translation, jnp.zeros((), bool)),
+        )
+    else:
+        rotation, translation = hs.best.rotation, hs.best.translation
     return RegistrationSolution(
         valid=hs.best_count > 0,
         scale=hs.best.scale,

@@ -483,6 +483,10 @@ def _host_stage(
         | ((hs.inlier_history == 0) & (u <= p_in))
     )
     new_corr = is_inl & (hs.keep_mask == 0) & readmit_ok
+    if not params.enable_self_update:
+        # C-RANSAC baseline variant (registration_WT.cc): no probabilistic
+        # re-admission of dropped correspondences.
+        new_corr = jnp.zeros_like(new_corr)
 
     # Demotion on miss (published intent of the buggy registration.cc:1438;
     # see module docstring): previously-outlier points, and previously-inlier
@@ -633,6 +637,8 @@ def psulvsb_solve(
     longholi = False
     best_sampled = warm
     rounds = 0
+    total_hypotheses = 0  # "basic count" — iteration stats the WT variant
+    total_local_batches = 0  # writes to static.txt (registration_WT.cc)
 
     for _round in range(params.max_host_rounds):
         rounds += 1
@@ -649,6 +655,8 @@ def psulvsb_solve(
             jnp.asarray(b_rate, dtype), b_one, hs.host_r, warm, thr, params, k_local,
         )
         best_sampled = local.best
+        total_hypotheses += int(local.hypotheses)
+        total_local_batches += int(local.iterations)
 
         hs, new_corr = _host_stage(
             ori_src, ori_dst, hs, best_sampled, local.local_r, b_one, thr, params,
@@ -684,7 +692,7 @@ def psulvsb_solve(
             )
 
     # Final refinement (registration.cc:1499-1528).
-    if int(hs.best_count) != 0:
+    if params.enable_refinement and int(hs.best_count) != 0:
         rotation, translation, refined = _finalize_stage(
             ori_src, ori_dst, hs, best_sampled
         )
@@ -712,5 +720,18 @@ def psulvsb_solve(
         "inlier_counter": hs.inlier_counter,
         "final_inliers": hs.final_inliers,
         "elapsed_s": time.monotonic() - t_start,
+        # Iteration statistics (the WT variant's static.txt counters:
+        # host rounds / local iterations / basic iterations).
+        "total_hypotheses": total_hypotheses,
+        "total_local_batches": total_local_batches,
     }
     return solution, info
+
+
+def write_iteration_stats(path: str, info: dict) -> None:
+    """static.txt-equivalent iteration-count dump (written by the WT variant
+    and consumed by teaser_cpp_ply_main.cc:448-466)."""
+    with open(path, "w") as f:
+        f.write(f"{info['rounds']}\n")
+        f.write(f"{info['total_local_batches']}\n")
+        f.write(f"{info['total_hypotheses']}\n")
