@@ -1,0 +1,53 @@
+"""3DMatch / 3DLoMatch / KITTI real-data benchmark CLI.
+
+Equivalent of the nested benchmark driver
+(/root/reference/TEASER-plusplus/examples/teaser_cpp_ply/teaser_cpp_ply_main.cc).
+Expects the reference's file layout under --data-root:
+    <scene>/cloud_bin_A+cloud_bin_B@corr.txt      (or @corr_fcgf.txt)
+    <scene>/cloud_bin_A+cloud_bin_B@GTmat.txt     (or @GTmat_fcgf.txt)
+    <scene>/pairs.txt                              (fragment id pairs)
+
+Usage:
+    python examples/benchmark_3dmatch.py --data-root DATA --out OUT \
+        [--dataset 3dmatch|3dlomatch|kitti] [--descriptor fpfh|fcgf] \
+        [--ddtime 10] [--unknown-scale]
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from psulvsb_tpu.eval.realdata import run_benchmark
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-root", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--dataset", default="3dmatch",
+                    choices=["3dmatch", "3dlomatch", "kitti"])
+    ap.add_argument("--descriptor", default="fpfh", choices=["fpfh", "fcgf"])
+    ap.add_argument("--ddtime", type=int, default=10)
+    ap.add_argument("--unknown-scale", action="store_true")
+    ap.add_argument("--scenes", nargs="*", default=None)
+    args = ap.parse_args()
+
+    summary = run_benchmark(
+        args.data_root,
+        args.out,
+        dataset=args.dataset,
+        scenes=args.scenes,
+        descriptor=args.descriptor,
+        ddtime=args.ddtime,
+        unknown_scale=args.unknown_scale,
+    )
+    print(json.dumps(summary, indent=2))
+    recalls = [s["recall"] for s in summary.values()]
+    if recalls:
+        print(f"mean recall: {sum(recalls) / len(recalls):.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -120,3 +120,36 @@ class TestPlyIO:
             f.write(b"not a ply\n")
         with pytest.raises(ValueError):
             read_ply(p)
+
+
+class TestICP:
+    def test_refines_perturbed_alignment(self, key, rng):
+        from psulvsb_tpu.frontend.icp import icp_point_to_point
+        from psulvsb_tpu.core.se3 import rodrigues
+        from psulvsb_tpu.core.metrics import angular_error_deg
+
+        pts = jnp.asarray(synthetic_cloud(400, seed=9))
+        r_true = rodrigues(jnp.array([0.3, 0.5, 1.0]), jnp.asarray(0.8))
+        t_true = jnp.array([0.2, -0.1, 0.3])
+        dst = r_true @ pts + t_true[:, None]
+        # Start from a slightly perturbed initialization.
+        r0 = rodrigues(jnp.array([0.3, 0.5, 1.0]), jnp.asarray(0.75))
+        res = icp_point_to_point(
+            pts, dst, init_rotation=r0, init_translation=t_true * 0.9,
+            max_correspondence_distance=0.3,
+        )
+        assert float(angular_error_deg(r_true, res.rotation)) < 0.5
+        assert float(jnp.linalg.norm(res.translation - t_true)) < 0.02
+
+
+class TestTiming:
+    def test_timer_and_throttle(self):
+        from psulvsb_tpu.utils.timing import Timer, timed, log_throttled
+
+        t = Timer("x").start()
+        assert t.stop() >= 0
+        with timed("span") as r:
+            pass
+        assert "elapsed_s" in r
+        for i in range(25):
+            log_throttled("k", f"msg {i}", every=10)
