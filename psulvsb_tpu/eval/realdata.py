@@ -155,25 +155,50 @@ def run_scene(
     ddtime: int = 10,
     unknown_scale: bool = False,
     seed: int = 0,
+    resume: bool = True,
 ) -> dict:
-    """Evaluate one scene directory; returns aggregate stats incl. recall."""
+    """Evaluate one scene directory; returns aggregate stats incl. recall.
+
+    Checkpoint/resume (the reference has none — SURVEY.md §5): per-pair
+    results append to `<out_csv>.progress.jsonl`; on restart, completed
+    pairs are skipped, so a 1623-pair sweep survives interruption.
+    """
+    import json
+
     pairs = read_pair_labels(label_file)
     suffix = "@corr.txt" if descriptor == "fpfh" else "@corr_fcgf.txt"
     gt_suffix = "@GTmat.txt" if descriptor == "fpfh" else "@GTmat_fcgf.txt"
 
+    progress_path = out_csv + ".progress.jsonl"
+    done: dict[str, PairResult] = {}
+    if resume and os.path.exists(progress_path):
+        with open(progress_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                done[rec["pair"]] = PairResult(**{k: rec[k] for k in PairResult._fields})
+
     rows = []
     results: list[PairResult] = []
     for a, b in pairs:
-        stem = os.path.join(scene_dir, f"cloud_bin_{a}+cloud_bin_{b}")
-        src, dst = read_corr_file(stem + suffix)
-        gt = read_gt_mat(stem + gt_suffix)
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), a * 100003 + b)
-        test_scale = 1.0
-        if unknown_scale:
-            test_scale = 1.0 + 4.0 * float(jax.random.uniform(jax.random.fold_in(key, 7)))
-        r = evaluate_pair(src, dst, gt, params, criteria, key, ddtime, test_scale)
+        tag = f"{a}+{b}"
+        if tag in done:
+            r = done[tag]
+        else:
+            stem = os.path.join(scene_dir, f"cloud_bin_{a}+cloud_bin_{b}")
+            src, dst = read_corr_file(stem + suffix)
+            gt = read_gt_mat(stem + gt_suffix)
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), a * 100003 + b)
+            test_scale = 1.0
+            if unknown_scale:
+                test_scale = 1.0 + 4.0 * float(
+                    jax.random.uniform(jax.random.fold_in(key, 7))
+                )
+            r = evaluate_pair(src, dst, gt, params, criteria, key, ddtime, test_scale)
+            os.makedirs(os.path.dirname(progress_path) or ".", exist_ok=True)
+            with open(progress_path, "a") as f:
+                f.write(json.dumps({"pair": tag, **r._asdict()}) + "\n")
         results.append(r)
-        rows.append([f"{a}+{b}", r.scale_error, r.angle_error_deg, r.trans_error,
+        rows.append([tag, r.scale_error, r.angle_error_deg, r.trans_error,
                      r.rmse, r.time_s, int(r.success)])
 
     write_csv(
