@@ -210,11 +210,12 @@ def _gror_core(
     thr = 2.0 * resolution
 
     # --- node reliability + top-K selection ---------------------------------
-    ds = jnp.linalg.norm(src[:, :, None] - src[:, None, :], axis=0)
-    dt = jnp.linalg.norm(dst[:, :, None] - dst[:, None, :], axis=0)
-    consistent = (jnp.abs(ds - dt) < thr) & corr_active[:, None] & corr_active[None, :]
-    consistent = consistent & ~jnp.eye(c, dtype=bool)
-    degree = jnp.sum(consistent, axis=1)
+    # Degrees via the tiled Pallas pair-grid kernel (ops/pallas_pairs.py):
+    # no (C, C) distance matrices in HBM; only the selected K x K submatrix
+    # is ever materialized.
+    from psulvsb_tpu.ops.pallas_pairs import consistency_degree
+
+    degree = consistency_degree(src, dst, thr, active=corr_active)
 
     k = min(k_optimal, c)
     deg_masked = jnp.where(corr_active, degree, -1)
@@ -223,7 +224,10 @@ def _gror_core(
 
     src_k = src[:, top]
     dst_k = dst[:, top]
-    cons_k = consistent[top][:, top]
+    ds_k = jnp.linalg.norm(src_k[:, :, None] - src_k[:, None, :], axis=0)
+    dt_k = jnp.linalg.norm(dst_k[:, :, None] - dst_k[:, None, :], axis=0)
+    cons_k = (jnp.abs(ds_k - dt_k) < thr) & sel_active[:, None] & sel_active[None, :]
+    cons_k = cons_k & ~jnp.eye(k, dtype=bool)
 
     # --- candidate edges -----------------------------------------------------
     # The reference evaluates, per selected node, its first consistent
