@@ -49,7 +49,9 @@ def main():
         k = jax.random.PRNGKey(100 + i)
         t0 = time.perf_counter()
         s = psulvsb_register(pair.src, pair.dst, keep, k, params)
-        jax.block_until_ready(s)
+        # Force a host readback: on the axon tunnel block_until_ready alone
+        # does not reliably wait for remote completion.
+        _ = float(s.translation[0]) + float(s.scale)
         times.append(time.perf_counter() - t0)
     times.sort()
     median = times[len(times) // 2]

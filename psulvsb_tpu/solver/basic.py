@@ -149,6 +149,7 @@ def basic_step(
             cost_threshold=params.inner_rotation_cost_threshold,
             warm_rotation=warm.rotation,
             use_warm=~warm.first_time,
+            rot_method=params.gnc_rot_method,
         )
         rotation, rotation_inliers = rot.rotation, rot.inliers
     else:

@@ -105,6 +105,15 @@ class SolverParams:
     enable_refinement: bool = True
 
     # --- TPU capacity knobs (static shapes replacing dynamic resizes) ------
+    # Upper bound on the compacted reduced line-vector set. The O(C^2) TIM
+    # universe is touched exactly once (histogram + compaction at init);
+    # every per-round op works on this compacted index array instead. When
+    # the true reduced set exceeds the cap it is uniformly decimated.
+    reduced_cap: int = 131072
+    # Cap on points admitted per self-update round and on the kept-inlier
+    # member list the new TIMs pair against (registration.cc:803-827).
+    self_update_new_cap: int = 64
+    self_update_member_cap: int = 512
     # Upper bound on TIM indices kept in the sampled set per host round.
     sampled_cap: int = 4096
     # Upper bound on TIMs per basic (hypothesis) set.
@@ -115,6 +124,10 @@ class SolverParams:
     hypothesis_batch: int = 16
     # Draws for the 1-point RANSAC scale consensus.
     scale_max_draws: int = 256
+    # Rotation-from-correlation method inside the GNC loop: "power"
+    # (shifted power iteration, pure matmuls — fastest under vmapped
+    # while_loops) or "eigh" (exact 4x4 eigendecomposition).
+    gnc_rot_method: str = "power"
 
     @property
     def pr_noise(self) -> float:

@@ -23,7 +23,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from psulvsb_tpu.pairs.tims import triu_pair_indices
 from psulvsb_tpu.solver.basic import WarmState
 from psulvsb_tpu.solver.config import SolverParams, RATE_SCHEDULE
 from psulvsb_tpu.solver.psulvsb import (
@@ -43,7 +42,9 @@ class _RoundCarry(NamedTuple):
     hs: HostState
     warm: WarmState
     best_sampled: WarmState
-    reduced_mask: jax.Array
+    red_i: jax.Array  # (R,) compacted reduced-set pair indices
+    red_j: jax.Array
+    red_count: jax.Array  # () int32
     rate_idx: jax.Array  # () int32 into RATE_SCHEDULE
     longholi: jax.Array  # () bool
     done: jax.Array  # () bool
@@ -62,12 +63,10 @@ def psulvsb_register(
     psulvsb_solve (solver/psulvsb.py) minus the wall-clock budget."""
     c = ori_src.shape[1]
     dtype = ori_src.dtype
-    ii_np, jj_np = triu_pair_indices(c)
-    idx_i, idx_j = jnp.asarray(ii_np), jnp.asarray(jj_np)
     keep_mask = keep_mask.astype(jnp.int32)
 
     key, k_init = jax.random.split(key)
-    reduced_mask0, _ = _init_stage(ori_src, ori_dst, keep_mask, params, k_init)
+    red_i0, red_j0, red_count0 = _init_stage(ori_src, ori_dst, keep_mask, params, k_init)
 
     n_reduced = jnp.sum(keep_mask == 1).astype(dtype)
     thr = jnp.asarray(params.pr_noise, dtype) * (1.0 + n_reduced / c)
@@ -84,7 +83,7 @@ def psulvsb_register(
             b_one = carry.rate_idx == last_rate
 
             s_i, s_j, s_ok, s_count, s_pts = _sample_stage(
-                carry.reduced_mask, l_rate, params, k_samp, idx_i, idx_j, c
+                carry.red_i, carry.red_j, carry.red_count, l_rate, params, k_samp, c
             )
             local = _local_stage(
                 ori_src, ori_dst, s_i, s_j, s_ok, s_count, s_pts,
@@ -107,19 +106,22 @@ def psulvsb_register(
                 carry.rate_idx + 1,
                 carry.rate_idx,
             )
-            reduced_mask = jax.lax.cond(
+            red_i, red_j, red_count = jax.lax.cond(
                 jnp.any(new_corr),
                 lambda: _self_update_pairs(
-                    carry.reduced_mask, idx_i, idx_j, new_corr, hs.inl_kept
+                    carry.red_i, carry.red_j, carry.red_count, new_corr,
+                    hs.inl_kept, params,
                 ),
-                lambda: carry.reduced_mask,
+                lambda: (carry.red_i, carry.red_j, carry.red_count),
             )
             return _RoundCarry(
                 key=key,
                 hs=hs,
                 warm=warm,
                 best_sampled=local.best,
-                reduced_mask=reduced_mask,
+                red_i=red_i,
+                red_j=red_j,
+                red_count=red_count,
                 rate_idx=rate_idx,
                 longholi=longholi,
                 done=stop,
@@ -134,7 +136,9 @@ def psulvsb_register(
         hs=HostState.initial(c, keep_mask, dtype),
         warm=WarmState.initial(dtype),
         best_sampled=WarmState.initial(dtype),
-        reduced_mask=reduced_mask0,
+        red_i=red_i0,
+        red_j=red_j0,
+        red_count=red_count0,
         rate_idx=jnp.int32(0),
         longholi=jnp.zeros((), bool),
         done=jnp.zeros((), bool),

@@ -80,14 +80,23 @@ def _init_stage(
     params: SolverParams,
     key: jax.Array,
 ):
-    """Build the TIM universe over the original correspondence set and the
-    initial reduced line-vector set (registration.cc:682-767).
+    """Build the TIM universe over the original correspondence set, the
+    initial reduced line-vector set (registration.cc:682-767), and compact
+    it into an explicit (i, j) pair-index array.
+
+    The O(C^2) universe is touched exactly once here; everything per-round
+    works on the compacted (reduced_cap,)-sized arrays. If the reduced set
+    exceeds reduced_cap it is uniformly decimated (Bernoulli thinning with
+    the exact keep probability).
 
     keep_mask: (C,) int32 in {1, 0, -1} as produced by the histogram
     pre-filter (PSULVSB.cc:87-172): 1 = reduced set, 0 = dropped but
     re-admittable, -1 = discarded.
+
+    Returns (red_i (R,), red_j (R,), red_count ()).
     """
     c = ori_src.shape[1]
+    r_cap = params.reduced_cap
     ii_np, jj_np = triu_pair_indices(c)
     idx_i, idx_j = jnp.asarray(ii_np), jnp.asarray(jj_np)
 
@@ -119,7 +128,20 @@ def _init_stage(
         )
         reduced_mask = inliers
 
-    return reduced_mask, pair_active
+    # --- compaction ----------------------------------------------------------
+    total = jnp.sum(reduced_mask, dtype=jnp.int32)
+    # Uniform decimation when overflowing the cap (cumsum-compaction alone
+    # would keep the lexicographically-first pairs — biased toward low i).
+    p_keep = jnp.minimum(1.0, r_cap / jnp.maximum(total.astype(jnp.float32), 1.0))
+    thin = jax.random.uniform(key, reduced_mask.shape) <= p_keep
+    mask = reduced_mask & jnp.where(total > r_cap, thin, True)
+
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    write = jnp.where(mask & (pos < r_cap), pos, r_cap)  # overflow -> spill slot
+    red_i = jnp.zeros((r_cap + 1,), jnp.int32).at[write].set(idx_i, mode="drop")
+    red_j = jnp.zeros((r_cap + 1,), jnp.int32).at[write].set(idx_j, mode="drop")
+    red_count = jnp.minimum(jnp.sum(mask, dtype=jnp.int32), r_cap)
+    return red_i[:r_cap], red_j[:r_cap], red_count
 
 
 # =============================================================================
@@ -129,35 +151,36 @@ def _init_stage(
 
 @functools.partial(jax.jit, static_argnames=("params", "num_points"))
 def _sample_stage(
-    reduced_mask: jax.Array,
+    red_i: jax.Array,
+    red_j: jax.Array,
+    red_count: jax.Array,
     l_rate: jax.Array,
     params: SolverParams,
     key: jax.Array,
-    idx_i: jax.Array,
-    idx_j: jax.Array,
     num_points: int,
 ):
     """Draw floor(|reduced| * L_sampled_rate) TIM indices without
-    replacement (registration.cc:834-895). Gumbel-top-k over the reduced
-    mask gives a uniform random subset; if the floor is 0 the whole reduced
-    set is used (registration.cc:839-847). Sizes cap at sampled_cap.
+    replacement (registration.cc:834-895). Gumbel-top-k over the compacted
+    reduced array gives a uniform random subset; if the floor is 0 the whole
+    reduced set is used (registration.cc:839-847). Sizes cap at sampled_cap.
 
-    Returns (sampled tim idx_i (S,), idx_j (S,), sampled_count (),
-    sampled point mask (C,)).
+    Returns (sampled tim idx_i (S,), idx_j (S,), slot mask (S,),
+    sampled_count (), sampled point mask (C,)).
     """
-    cap = min(params.sampled_cap, reduced_mask.shape[0])
-    reduced_size = jnp.sum(reduced_mask, dtype=jnp.int32)
-    want = jnp.floor(reduced_size.astype(jnp.float32) * l_rate).astype(jnp.int32)
-    want = jnp.where(want == 0, reduced_size, want)
+    r_cap = red_i.shape[0]
+    cap = min(params.sampled_cap, r_cap)
+    want = jnp.floor(red_count.astype(jnp.float32) * l_rate).astype(jnp.int32)
+    want = jnp.where(want == 0, red_count, want)
     count = jnp.minimum(want, cap)
 
-    g = jax.random.gumbel(key, reduced_mask.shape, dtype=jnp.float32)
-    score = jnp.where(reduced_mask, g, -jnp.inf)
+    slot_ok = jnp.arange(r_cap) < red_count
+    g = jax.random.gumbel(key, (r_cap,), dtype=jnp.float32)
+    score = jnp.where(slot_ok, g, -jnp.inf)
     _, top = jax.lax.top_k(score, cap)
     rank_ok = jnp.arange(cap) < count
     # Invalid slots point at pair 0 but stay masked everywhere.
-    s_i = jnp.where(rank_ok, idx_i[top], 0)
-    s_j = jnp.where(rank_ok, idx_j[top], 0)
+    s_i = jnp.where(rank_ok, red_i[top], 0)
+    s_j = jnp.where(rank_ok, red_j[top], 0)
 
     pt_mask = jnp.zeros((num_points,), bool)
     pt_mask = pt_mask.at[s_i].max(rank_ok)
@@ -538,22 +561,62 @@ def _host_stage(
     return new_hs, new_corr
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("params",))
 def _self_update_pairs(
-    reduced_mask: jax.Array,
-    idx_i: jax.Array,
-    idx_j: jax.Array,
+    red_i: jax.Array,
+    red_j: jax.Array,
+    red_count: jax.Array,
     new_corr: jax.Array,
     inl_kept: jax.Array,
+    params: SolverParams,
 ):
-    """Append the self-update TIMs to the reduced set
+    """Append the self-update TIMs to the compacted reduced set
     (registration.cc:786-832): every pair between a newly admitted point and
-    the kept host-inlier points (inlier_map) or another new point."""
+    the kept host-inlier points (inlier_map) or another new point. Admitted
+    points and members cap at self_update_new_cap/member_cap; appends beyond
+    reduced_cap are dropped."""
+    c = new_corr.shape[0]
+    r_cap = red_i.shape[0]
+    n_cap = params.self_update_new_cap
+    m_cap = params.self_update_member_cap
+
+    def compact(mask, cap):
+        pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        write = jnp.where(mask & (pos < cap), pos, cap)
+        lst = jnp.full((cap + 1,), -1, jnp.int32).at[write].set(
+            jnp.arange(c, dtype=jnp.int32), mode="drop"
+        )
+        return lst[:cap], jnp.minimum(jnp.sum(mask, dtype=jnp.int32), cap)
+
     member = inl_kept | new_corr
-    ni, nj = new_corr[idx_i], new_corr[idx_j]
-    mi, mj = member[idx_i], member[idx_j]
-    add = (ni & mj) | (nj & mi)
-    return reduced_mask | add
+    new_list, n_new = compact(new_corr, n_cap)
+    mem_list, n_mem = compact(member, m_cap)
+
+    # (n_cap, m_cap) candidate grid; avoid double-counting new-new pairs by
+    # requiring member > new when the member is itself new.
+    nn = new_list[:, None]
+    mm = mem_list[None, :]
+    valid = (
+        (jnp.arange(n_cap)[:, None] < n_new)
+        & (jnp.arange(m_cap)[None, :] < n_mem)
+        & (nn != mm)
+        & (~new_corr[jnp.maximum(mm, 0)] | (mm > nn))
+    )
+    pi = jnp.minimum(nn, mm)
+    pj = jnp.maximum(nn, mm)
+
+    vf = valid.reshape(-1)
+    pif = pi.reshape(-1)
+    pjf = pj.reshape(-1)
+    pos = jnp.cumsum(vf.astype(jnp.int32)) - 1
+    dest = red_count + pos
+    write = jnp.where(vf & (dest < r_cap), dest, r_cap)
+    red_i = jnp.concatenate([red_i, jnp.zeros((1,), jnp.int32)])
+    red_j = jnp.concatenate([red_j, jnp.zeros((1,), jnp.int32)])
+    red_i = red_i.at[write].set(pif, mode="drop")[:r_cap]
+    red_j = red_j.at[write].set(pjf, mode="drop")[:r_cap]
+    added = jnp.minimum(jnp.sum(vf, dtype=jnp.int32), r_cap - red_count)
+    return red_i, red_j, red_count + added
 
 
 # =============================================================================
@@ -620,11 +683,8 @@ def psulvsb_solve(
     c = ori_src.shape[1]
     dtype = ori_src.dtype
 
-    ii_np, jj_np = triu_pair_indices(c)
-    idx_i, idx_j = jnp.asarray(ii_np), jnp.asarray(jj_np)
-
     key, k_init = jax.random.split(key)
-    reduced_mask, pair_active = _init_stage(ori_src, ori_dst, keep_mask, params, k_init)
+    red_i, red_j, red_count = _init_stage(ori_src, ori_dst, keep_mask, params, k_init)
 
     n_reduced_pts = int(jnp.sum(keep_mask == 1))
     # adoptive_thr_multiplier = 1 + |reduced| / |ori| (registration.cc:669).
@@ -647,7 +707,7 @@ def psulvsb_solve(
 
         key, k_samp, k_local, k_host = jax.random.split(key, 4)
         s_i, s_j, s_ok, s_count, s_pts = _sample_stage(
-            reduced_mask, jnp.asarray(l_rate, dtype), params, k_samp, idx_i, idx_j, c
+            red_i, red_j, red_count, jnp.asarray(l_rate, dtype), params, k_samp, c
         )
 
         local = _local_stage(
@@ -687,8 +747,8 @@ def psulvsb_solve(
 
         # Self-update: fold newly admitted points into the reduced TIM set.
         if int(jnp.sum(new_corr)) > 0:
-            reduced_mask = _self_update_pairs(
-                reduced_mask, idx_i, idx_j, new_corr, hs.inl_kept
+            red_i, red_j, red_count = _self_update_pairs(
+                red_i, red_j, red_count, new_corr, hs.inl_kept, params
             )
 
     # Final refinement (registration.cc:1499-1528).
