@@ -316,7 +316,7 @@ def _nearest_psd(m: jax.Array) -> jax.Array:
     sym = (m + m.T) / 2
     w, v = jnp.linalg.eigh(sym)
     w = jnp.maximum(w, 0)
-    return (v * w[None, :]) @ v.T
+    return mm(v * w[None, :], v.T)
 
 
 # --- the certifier -----------------------------------------------------------

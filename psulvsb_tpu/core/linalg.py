@@ -60,7 +60,7 @@ def nearest_psd(a: jax.Array) -> jax.Array:
     sym = (a + a.T) / 2
     w, v = jnp.linalg.eigh(sym)
     w = jnp.maximum(w, 0)
-    return (v * w[None, :]) @ v.T
+    return mm(v * w[None, :], v.T)
 
 
 def _davenport_matrix(s: jax.Array) -> jax.Array:
@@ -165,5 +165,5 @@ def weighted_procrustes_srt(
     ys = dst - c_dst[:, None]
     h = mm(xs * w[None, :], ys.T)
     r = rot_from_correlation(h, method=method)
-    t = c_dst - r @ c_src
+    t = c_dst - mm(r, c_src)
     return r, t

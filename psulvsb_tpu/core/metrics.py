@@ -17,7 +17,7 @@ from psulvsb_tpu.utils.precision import mm
 
 def angular_error_rad(r_exp: jax.Array, r_est: jax.Array) -> jax.Array:
     """Geodesic rotation error |acos((tr(Ra^T Rb) - 1)/2)| in radians."""
-    c = (jnp.trace(r_exp.T @ r_est) - 1.0) / 2.0
+    c = (jnp.trace(mm(r_exp.T, r_est)) - 1.0) / 2.0
     return jnp.abs(jnp.arccos(jnp.clip(c, -1.0, 1.0)))
 
 

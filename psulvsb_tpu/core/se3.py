@@ -54,8 +54,8 @@ def compose_srt(outer_r: jax.Array, outer_t: jax.Array, inner: SE3) -> SE3:
     """
     return SE3(
         scale=inner.scale,
-        rotation=outer_r @ inner.rotation,
-        translation=outer_r @ inner.translation + outer_t / jnp.maximum(inner.scale, 1e-30),
+        rotation=mm(outer_r, inner.rotation),
+        translation=mm(outer_r, inner.translation) + outer_t / jnp.maximum(inner.scale, 1e-30),
     )
 
 
@@ -71,7 +71,7 @@ def rodrigues(axis: jax.Array, angle: jax.Array) -> jax.Array:
         dtype=axis.dtype,
     )
     eye = jnp.eye(3, dtype=axis.dtype)
-    return eye + jnp.sin(angle) * k + (1.0 - jnp.cos(angle)) * (k @ k)
+    return eye + jnp.sin(angle) * k + (1.0 - jnp.cos(angle)) * mm(k, k)
 
 
 def random_se3(key: jax.Array, max_translation: float = 3.0, dtype=jnp.float32) -> SE3:

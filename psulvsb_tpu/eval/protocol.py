@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from psulvsb_tpu.core.metrics import angular_error_deg
+from psulvsb_tpu.utils.precision import mm
 from psulvsb_tpu.eval.pipeline import solve_with_prefilter
 from psulvsb_tpu.eval.reporting import write_csv, mean_std
 from psulvsb_tpu.eval.synthetic import make_synthetic_pair
@@ -52,9 +53,9 @@ def run_trial(
     trans_err = float(jnp.linalg.norm(sol.translation - gt.translation))
     # RMSE vs the noiseless ground-truth placement over ALL points
     # (PSULVSB.cc computes it against src_gt = T * src).
-    gt_pts = gt.rotation @ pair.src + gt.translation[:, None]
+    gt_pts = mm(gt.rotation, pair.src) + gt.translation[:, None]
     est_pts = float(sol.scale) * (
-        sol.rotation @ pair.src + sol.translation[:, None]
+        mm(sol.rotation, pair.src) + sol.translation[:, None]
     )
     rmse = float(jnp.sqrt(jnp.mean(jnp.sum((gt_pts - est_pts) ** 2, axis=0))))
     return TrialResult(scale_err, angle_err, trans_err, rmse, res.elapsed_s)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from psulvsb_tpu.core.metrics import angular_error_deg
+from psulvsb_tpu.utils.precision import mm
 from psulvsb_tpu.eval.pipeline import solve_with_prefilter
 from psulvsb_tpu.eval.reporting import write_csv, mean_std
 from psulvsb_tpu.solver.config import SolverParams
@@ -112,13 +113,13 @@ def evaluate_pair(
     dst_j = jnp.asarray(dst * test_scale, jnp.float32)
     gt_r = jnp.asarray(gt[:3, :3], jnp.float32)
     gt_t = jnp.asarray(gt[:3, 3], jnp.float32)
-    gt_pts = gt_r @ src_j + gt_t[:, None]
+    gt_pts = mm(gt_r, src_j) + gt_t[:, None]
 
     best: PairResult | None = None
     for t in range(ddtime):
         res = solve_with_prefilter(src_j, dst_j, params, jax.random.fold_in(key, t))
         sol = res.solution
-        est_pts = float(sol.scale) * (sol.rotation @ src_j + sol.translation[:, None])
+        est_pts = float(sol.scale) * (mm(sol.rotation, src_j) + sol.translation[:, None])
         # RMSE vs GT placement over all correspondences, scale-normalized
         # (the driver compares in the unscaled frame).
         rmse = float(
