@@ -104,6 +104,16 @@ class SolverParams:
     enable_self_update: bool = True
     enable_refinement: bool = True
 
+    # Reduced-set construction: "exact" sweeps the full O(C^2) TIM universe
+    # (the reference's behavior); "sampled" estimates the histogram peak
+    # from a pair subsample and rejection-samples the reduced set directly
+    # (uniform over the reduced set; 5-10x faster init at large C);
+    # "auto" picks sampled when the universe exceeds init_sampled_threshold.
+    init_mode: str = "auto"
+    init_sampled_threshold: int = 4_000_000
+    init_peak_sample: int = 1 << 20  # pairs used to locate the peak bin
+    init_reject_budget: int = 1 << 21  # pair draws for reduced-set filling
+
     # --- TPU capacity knobs (static shapes replacing dynamic resizes) ------
     # Upper bound on the compacted reduced line-vector set. The O(C^2) TIM
     # universe is touched exactly once (histogram + compaction at init);

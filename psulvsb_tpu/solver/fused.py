@@ -44,7 +44,8 @@ class _RoundCarry(NamedTuple):
     best_sampled: WarmState
     red_i: jax.Array  # (R,) compacted reduced-set pair indices
     red_j: jax.Array
-    red_count: jax.Array  # () int32
+    red_count: jax.Array  # () int32 — |reduced| (possibly an estimate)
+    red_pool: jax.Array  # () int32 — materialized members in red_i/red_j
     rate_idx: jax.Array  # () int32 into RATE_SCHEDULE
     longholi: jax.Array  # () bool
     done: jax.Array  # () bool
@@ -66,7 +67,9 @@ def psulvsb_register(
     keep_mask = keep_mask.astype(jnp.int32)
 
     key, k_init = jax.random.split(key)
-    red_i0, red_j0, red_count0 = _init_stage(ori_src, ori_dst, keep_mask, params, k_init)
+    red_i0, red_j0, red_count0, red_pool0 = _init_stage(
+        ori_src, ori_dst, keep_mask, params, k_init
+    )
 
     n_reduced = jnp.sum(keep_mask == 1).astype(dtype)
     thr = jnp.asarray(params.pr_noise, dtype) * (1.0 + n_reduced / c)
@@ -83,7 +86,8 @@ def psulvsb_register(
             b_one = carry.rate_idx == last_rate
 
             s_i, s_j, s_ok, s_count, s_pts = _sample_stage(
-                carry.red_i, carry.red_j, carry.red_count, l_rate, params, k_samp, c
+                carry.red_i, carry.red_j, carry.red_count, carry.red_pool,
+                l_rate, params, k_samp, c,
             )
             local = _local_stage(
                 ori_src, ori_dst, s_i, s_j, s_ok, s_count, s_pts,
@@ -106,13 +110,13 @@ def psulvsb_register(
                 carry.rate_idx + 1,
                 carry.rate_idx,
             )
-            red_i, red_j, red_count = jax.lax.cond(
+            red_i, red_j, red_count, red_pool = jax.lax.cond(
                 jnp.any(new_corr),
                 lambda: _self_update_pairs(
-                    carry.red_i, carry.red_j, carry.red_count, new_corr,
-                    hs.inl_kept, params,
+                    carry.red_i, carry.red_j, carry.red_count, carry.red_pool,
+                    new_corr, hs.inl_kept, params,
                 ),
-                lambda: (carry.red_i, carry.red_j, carry.red_count),
+                lambda: (carry.red_i, carry.red_j, carry.red_count, carry.red_pool),
             )
             return _RoundCarry(
                 key=key,
@@ -122,6 +126,7 @@ def psulvsb_register(
                 red_i=red_i,
                 red_j=red_j,
                 red_count=red_count,
+                red_pool=red_pool,
                 rate_idx=rate_idx,
                 longholi=longholi,
                 done=stop,
@@ -139,6 +144,7 @@ def psulvsb_register(
         red_i=red_i0,
         red_j=red_j0,
         red_count=red_count0,
+        red_pool=red_pool0,
         rate_idx=jnp.int32(0),
         longholi=jnp.zeros((), bool),
         done=jnp.zeros((), bool),

@@ -72,6 +72,103 @@ from psulvsb_tpu.solver.solution import RegistrationSolution
 # =============================================================================
 
 
+def _pair_window_test(
+    ori_src, ori_dst, pi, pj, params: SolverParams, peak_bin
+):
+    """Membership test for the reduced set at explicit pairs (pi, pj):
+    histogram peak +-1 bins (estimate_scaling) or the known-scale beta test
+    (registration.cc:744-767)."""
+    st = ori_src[:, pj] - ori_src[:, pi]
+    dt = ori_dst[:, pj] - ori_dst[:, pi]
+    v1 = jnp.sqrt(jnp.sum(st * st, axis=0))
+    v2 = jnp.sqrt(jnp.sum(dt * dt, axis=0))
+    if params.estimate_scaling:
+        num_bins = int(params.hist_max_scale) * params.hist_bins_per_unit
+        ratios = v2 / jnp.where(v1 > 0, v1, 1.0)
+        b = jnp.clip(
+            jnp.floor(ratios / params.hist_max_scale * num_bins).astype(jnp.int32),
+            0,
+            num_bins - 1,
+        )
+        return jnp.abs(b - peak_bin) <= 1
+    beta = 2.0 * params.noise_bound * np.sqrt(params.cbar2)
+    return jnp.abs(v1 - v2) <= beta
+
+
+def _init_stage_sampled(
+    ori_src: jax.Array,
+    ori_dst: jax.Array,
+    keep_mask: jax.Array,
+    params: SolverParams,
+    key: jax.Array,
+):
+    """Large-C init: never materializes the O(C^2) universe.
+
+    1. Locate the histogram peak bin from `init_peak_sample` uniform random
+       active pairs (the mode is identifiable from a subsample; the solver
+       only needs peak +-1 membership, registration.cc:744-752).
+    2. Rejection-sample the reduced set: draw `init_reject_budget` random
+       pairs, keep those passing the window test — exactly uniform over the
+       reduced set, and the loop only ever consumes sampled_cap TIMs per
+       round. red_count is estimated as L * acceptance_rate (it only feeds
+       the floor(|reduced| * rate) sample-size rule).
+
+    Divergences vs the exact sweep: pair draws are with replacement
+    (duplicate TIMs possible at ~0.1% rates) and red_count is an estimate.
+    """
+    c = ori_src.shape[1]
+    r_cap = params.reduced_cap
+    n_l = c * (c - 1) // 2
+    active = keep_mask == 1
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    def draw_pairs(k, n):
+        ka, kb = jax.random.split(k)
+        a = jax.random.randint(ka, (n,), 0, c)
+        b = jax.random.randint(kb, (n,), 0, c - 1)
+        b = jnp.where(b >= a, b + 1, b)  # b != a, uniform over pairs
+        return jnp.minimum(a, b), jnp.maximum(a, b)
+
+    peak_bin = jnp.int32(0)
+    if params.estimate_scaling:
+        s1 = params.init_peak_sample
+        pi, pj = draw_pairs(k1, s1)
+        ok = active[pi] & active[pj]
+        st = ori_src[:, pj] - ori_src[:, pi]
+        dt = ori_dst[:, pj] - ori_dst[:, pi]
+        v1 = jnp.sqrt(jnp.sum(st * st, axis=0))
+        v2 = jnp.sqrt(jnp.sum(dt * dt, axis=0))
+        counts, bin_idx = scale_ratio_histogram(
+            v2 / jnp.where(v1 > 0, v1, 1.0),
+            ok,
+            max_scale=params.hist_max_scale,
+            bins_per_unit=params.hist_bins_per_unit,
+        )
+        peak_bin = jnp.argmax(counts).astype(jnp.int32)
+
+    budget = params.init_reject_budget
+    pi, pj = draw_pairs(k2, budget)
+    member = (
+        active[pi] & active[pj] & _pair_window_test(
+            ori_src, ori_dst, pi, pj, params, peak_bin
+        )
+    )
+    accept = jnp.sum(member, dtype=jnp.int32)
+    red_count_est = jnp.minimum(
+        (accept.astype(jnp.float32) / budget * n_l).astype(jnp.int32), r_cap
+    )
+
+    pos = jnp.cumsum(member.astype(jnp.int32)) - 1
+    write = jnp.where(member & (pos < r_cap), pos, r_cap)
+    red_i = jnp.zeros((r_cap + 1,), jnp.int32).at[write].set(pi, mode="drop")
+    red_j = jnp.zeros((r_cap + 1,), jnp.int32).at[write].set(pj, mode="drop")
+    # The pool holds min(accept, r_cap) actual members; red_count (the
+    # |reduced| size estimate) may exceed the pool — sampling clamps to the
+    # pool size.
+    pool = jnp.minimum(accept, r_cap)
+    return red_i[:r_cap], red_j[:r_cap], red_count_est, pool
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def _init_stage(
     ori_src: jax.Array,
@@ -84,18 +181,23 @@ def _init_stage(
     initial reduced line-vector set (registration.cc:682-767), and compact
     it into an explicit (i, j) pair-index array.
 
-    The O(C^2) universe is touched exactly once here; everything per-round
-    works on the compacted (reduced_cap,)-sized arrays. If the reduced set
-    exceeds reduced_cap it is uniformly decimated (Bernoulli thinning with
-    the exact keep probability).
+    Modes (params.init_mode): "exact" sweeps the O(C^2) universe once;
+    "sampled" (or "auto" at L > init_sampled_threshold) uses
+    _init_stage_sampled — no O(C^2) materialization at all.
 
     keep_mask: (C,) int32 in {1, 0, -1} as produced by the histogram
     pre-filter (PSULVSB.cc:87-172): 1 = reduced set, 0 = dropped but
     re-admittable, -1 = discarded.
 
-    Returns (red_i (R,), red_j (R,), red_count ()).
+    Returns (red_i (R,), red_j (R,), red_count (), pool_count ()).
     """
     c = ori_src.shape[1]
+    n_l = c * (c - 1) // 2
+    mode = params.init_mode
+    if mode == "auto":
+        mode = "sampled" if n_l > params.init_sampled_threshold else "exact"
+    if mode == "sampled":
+        return _init_stage_sampled(ori_src, ori_dst, keep_mask, params, key)
     r_cap = params.reduced_cap
     ii_np, jj_np = triu_pair_indices(c)
     idx_i, idx_j = jnp.asarray(ii_np), jnp.asarray(jj_np)
@@ -141,7 +243,7 @@ def _init_stage(
     red_i = jnp.zeros((r_cap + 1,), jnp.int32).at[write].set(idx_i, mode="drop")
     red_j = jnp.zeros((r_cap + 1,), jnp.int32).at[write].set(idx_j, mode="drop")
     red_count = jnp.minimum(jnp.sum(mask, dtype=jnp.int32), r_cap)
-    return red_i[:r_cap], red_j[:r_cap], red_count
+    return red_i[:r_cap], red_j[:r_cap], red_count, red_count
 
 
 # =============================================================================
@@ -154,6 +256,7 @@ def _sample_stage(
     red_i: jax.Array,
     red_j: jax.Array,
     red_count: jax.Array,
+    pool: jax.Array,
     l_rate: jax.Array,
     params: SolverParams,
     key: jax.Array,
@@ -164,6 +267,9 @@ def _sample_stage(
     reduced array gives a uniform random subset; if the floor is 0 the whole
     reduced set is used (registration.cc:839-847). Sizes cap at sampled_cap.
 
+    red_count is the (possibly estimated) |reduced| driving the sample-size
+    rule; pool is the number of materialized members in red_i/red_j.
+
     Returns (sampled tim idx_i (S,), idx_j (S,), slot mask (S,),
     sampled_count (), sampled point mask (C,)).
     """
@@ -171,9 +277,9 @@ def _sample_stage(
     cap = min(params.sampled_cap, r_cap)
     want = jnp.floor(red_count.astype(jnp.float32) * l_rate).astype(jnp.int32)
     want = jnp.where(want == 0, red_count, want)
-    count = jnp.minimum(want, cap)
+    count = jnp.minimum(jnp.minimum(want, cap), pool)
 
-    slot_ok = jnp.arange(r_cap) < red_count
+    slot_ok = jnp.arange(r_cap) < pool
     g = jax.random.gumbel(key, (r_cap,), dtype=jnp.float32)
     score = jnp.where(slot_ok, g, -jnp.inf)
     _, top = jax.lax.top_k(score, cap)
@@ -566,6 +672,7 @@ def _self_update_pairs(
     red_i: jax.Array,
     red_j: jax.Array,
     red_count: jax.Array,
+    pool: jax.Array,
     new_corr: jax.Array,
     inl_kept: jax.Array,
     params: SolverParams,
@@ -609,14 +716,14 @@ def _self_update_pairs(
     pif = pi.reshape(-1)
     pjf = pj.reshape(-1)
     pos = jnp.cumsum(vf.astype(jnp.int32)) - 1
-    dest = red_count + pos
+    dest = pool + pos
     write = jnp.where(vf & (dest < r_cap), dest, r_cap)
     red_i = jnp.concatenate([red_i, jnp.zeros((1,), jnp.int32)])
     red_j = jnp.concatenate([red_j, jnp.zeros((1,), jnp.int32)])
     red_i = red_i.at[write].set(pif, mode="drop")[:r_cap]
     red_j = red_j.at[write].set(pjf, mode="drop")[:r_cap]
-    added = jnp.minimum(jnp.sum(vf, dtype=jnp.int32), r_cap - red_count)
-    return red_i, red_j, red_count + added
+    added = jnp.minimum(jnp.sum(vf, dtype=jnp.int32), r_cap - pool)
+    return red_i, red_j, jnp.minimum(red_count + added, r_cap), pool + added
 
 
 # =============================================================================
@@ -684,7 +791,9 @@ def psulvsb_solve(
     dtype = ori_src.dtype
 
     key, k_init = jax.random.split(key)
-    red_i, red_j, red_count = _init_stage(ori_src, ori_dst, keep_mask, params, k_init)
+    red_i, red_j, red_count, red_pool = _init_stage(
+        ori_src, ori_dst, keep_mask, params, k_init
+    )
 
     n_reduced_pts = int(jnp.sum(keep_mask == 1))
     # adoptive_thr_multiplier = 1 + |reduced| / |ori| (registration.cc:669).
@@ -707,7 +816,8 @@ def psulvsb_solve(
 
         key, k_samp, k_local, k_host = jax.random.split(key, 4)
         s_i, s_j, s_ok, s_count, s_pts = _sample_stage(
-            red_i, red_j, red_count, jnp.asarray(l_rate, dtype), params, k_samp, c
+            red_i, red_j, red_count, red_pool, jnp.asarray(l_rate, dtype),
+            params, k_samp, c,
         )
 
         local = _local_stage(
@@ -747,8 +857,8 @@ def psulvsb_solve(
 
         # Self-update: fold newly admitted points into the reduced TIM set.
         if int(jnp.sum(new_corr)) > 0:
-            red_i, red_j, red_count = _self_update_pairs(
-                red_i, red_j, red_count, new_corr, hs.inl_kept, params
+            red_i, red_j, red_count, red_pool = _self_update_pairs(
+                red_i, red_j, red_count, red_pool, new_corr, hs.inl_kept, params
             )
 
     # Final refinement (registration.cc:1499-1528).
