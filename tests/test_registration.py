@@ -111,3 +111,39 @@ class TestPsulvsbSolve:
         np.testing.assert_array_equal(
             np.asarray(sol1.translation), np.asarray(sol2.translation)
         )
+
+
+class TestSampledInit:
+    def test_sampled_init_matches_exact_quality(self, key):
+        """Force init_mode='sampled' on a small problem: same accuracy as
+        the exact sweep (rejection sampling is uniform over the reduced
+        set)."""
+        src = jnp.asarray(synthetic_cloud(150, seed=11))
+        pair = make_synthetic_pair(key, src, noise_bound=0.05, outlier_rate=0.85)
+        keep = jnp.ones((150,), jnp.int32)
+        common = dict(sampled_cap=1024, basic_cap=512, hypothesis_batch=8,
+                      init_peak_sample=1 << 14, init_reject_budget=1 << 15)
+        for mode in ("exact", "sampled"):
+            params = SolverParams.preset_artificial(init_mode=mode, **common)
+            sol, _ = psulvsb_solve(pair.src, pair.dst, keep, params,
+                                   jax.random.PRNGKey(21))
+            re = float(angular_error_deg(pair.transform.rotation, sol.rotation))
+            te = float(jnp.linalg.norm(sol.translation - pair.transform.translation))
+            assert re < 5.0 and te < 0.3, f"{mode}: RE={re} TE={te}"
+
+    def test_sampled_init_unknown_scale(self, key):
+        """Sampled mode with scale estimation: the subsample must still find
+        the histogram peak."""
+        s_true = 1.35
+        src = jnp.asarray(synthetic_cloud(120, seed=12))
+        pair = make_synthetic_pair(key, src, noise_bound=0.01, outlier_rate=0.5)
+        dst = s_true * pair.dst
+        params = SolverParams(
+            noise_bound=0.05, noise_bound_dataset=0.05, estimate_scaling=True,
+            init_mode="sampled", init_peak_sample=1 << 14,
+            init_reject_budget=1 << 15, sampled_cap=1024, basic_cap=512,
+            hypothesis_batch=8,
+        )
+        sol, _ = psulvsb_solve(pair.src, dst, jnp.ones((120,), jnp.int32),
+                               params, jax.random.PRNGKey(3))
+        assert float(sol.scale) == pytest.approx(s_true, abs=0.05)
