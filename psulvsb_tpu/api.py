@@ -69,6 +69,10 @@ class RobustRegistrationSolver:
         or solve(src_corr, dst_corr) with pre-matched (3, C) matrices
         (the PSULVSB overload, registration.cc:622).
         """
+        if hasattr(src, "asarray"):  # PointCloud container
+            src = src.asarray()
+        if hasattr(dst, "asarray"):
+            dst = dst.asarray()
         src = np.asarray(src)
         dst = np.asarray(dst)
         if correspondences is not None:

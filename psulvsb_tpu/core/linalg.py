@@ -111,16 +111,18 @@ def rot_from_correlation(h: jax.Array, method: str = "eigh") -> jax.Array:
         _, vecs = jnp.linalg.eigh(k)
         q = vecs[:, -1]
     elif method == "power":
-        # Shift to make the max eigenvalue dominant in magnitude.
+        # Shift to make the max eigenvalue dominant in magnitude. Unrolled
+        # (no fori_loop): inside vmapped GNC while_loops a device loop would
+        # cost ~30 sequential kernel launches per GNC iteration; unrolled,
+        # XLA fuses the chain. Squaring the operand (K <- K @ K / ||.||)
+        # doubles the effective iteration count per matmul: 5 squarings
+        # ~ 2^5 = 32 plain power steps.
         shift = 2.0 * jnp.sqrt(jnp.sum(h * h)) + 1e-12
         ks = k + shift * jnp.eye(4, dtype=k.dtype)
-        q0 = jnp.array([1.0, 0.0, 0.0, 0.0], dtype=k.dtype)
-
-        def body(_, q):
-            q = mm(ks, q)
-            return q / (jnp.linalg.norm(q) + 1e-30)
-
-        q = jax.lax.fori_loop(0, 30, body, q0)
+        for _ in range(5):
+            ks = mm(ks, ks)
+            ks = ks / (jnp.sqrt(jnp.sum(ks * ks)) + 1e-30)
+        q = mm(ks, jnp.full((4,), 0.5, dtype=k.dtype))
     else:
         raise ValueError(f"unknown method {method!r}")
     return _quat_to_rot(q / (jnp.linalg.norm(q) + 1e-30))

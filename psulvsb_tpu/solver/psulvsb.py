@@ -525,10 +525,13 @@ def _local_stage(
         escalate=jnp.zeros((), bool),
         done=jnp.zeros((), bool),
     )
-    # Hard ceiling on batches as a safety net: the serial loop is bounded by
-    # local_max_iter-driven stagnation, so ceil(local_max_iter/batch) + 2
-    # batches always suffice.
-    max_batches = max(2, -(-params.local_max_iter // params.hypothesis_batch) + 2)
+    # Hard ceiling on batches: the serial loop ends by confidence
+    # (pro_local > 0.99) or stagnation (local_r >= local_max_iter with
+    # pro_local <= 0.2). Between those bounds pro_local is monotone in
+    # local_r, so ~4x local_max_iter hypotheses cover all but pathological
+    # mid-confidence plateaus; beyond the ceiling the round proceeds to host
+    # scoring exactly as a confidence exit would.
+    max_batches = max(2, -(-4 * params.local_max_iter // params.hypothesis_batch) + 1)
     final = jax.lax.while_loop(
         lambda st: (~st.done) & (st.iterations < max_batches), batch_body, init
     )
