@@ -48,6 +48,10 @@ def knn(
     if point_active is None:
         point_active = jnp.ones((n,), bool)
 
+    # Bound the live (block, N) distance tile to ~256M elements (1 GB f32)
+    # so KITTI-scale clouds (N ~ 1e5) don't blow HBM.
+    block = int(min(block, max(128, (1 << 28) // max(n, 1))))
+
     pad_m = (-m) % block
     qpad = jnp.pad(query, ((0, 0), (0, pad_m)))
     nblocks = qpad.shape[1] // block
