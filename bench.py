@@ -13,6 +13,12 @@ import sys
 import time
 
 import jax
+
+# Persistent compilation cache: the fused solver takes minutes to compile
+# through the remote-compile tunnel; cache hits make repeat runs start fast.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from psulvsb_tpu.solver.config import SolverParams
@@ -29,7 +35,7 @@ def main():
     n_repeat = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 
     params = SolverParams.preset_artificial(
-        sampled_cap=4096, basic_cap=2048, hypothesis_batch=16
+        sampled_cap=4096, basic_cap=2048, hypothesis_batch=32
     )
     src = jnp.asarray(synthetic_cloud(N_CORRS, seed=0))
     pair = make_synthetic_pair(

@@ -14,8 +14,10 @@ while loops. The TPU form inverts it:
   preserved while the arithmetic runs wide.
 - **Static shapes + masks**: the correspondence set never grows
   (conservativeResize at registration.cc:795-827); instead (C,)-masks over
-  the padded original set flip on (self-update), and the TIM universe is the
-  full upper-triangular pair grid with an include-mask.
+  the padded original set flip on (self-update), and the reduced
+  line-vector set lives as a compacted (i, j) pair-index array of static
+  capacity — built either from one exact O(C^2) sweep or by rejection
+  sampling (init_mode), never carried as an O(C^2) mask.
 - **Explicit carries**: the reference's globals (registration.cc:40-50)
   become `WarmState` + `HostState` pytrees threaded through `lax.while_loop`
   and the host-round Python loop (host rounds are the natural wall-clock
