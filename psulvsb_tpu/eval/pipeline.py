@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from psulvsb_tpu.utils.padding import pad_columns
 from psulvsb_tpu.frontend.normals import estimate_normals
 from psulvsb_tpu.frontend.histogram_filter import normal_angle_histogram_filter
 from psulvsb_tpu.solver.config import SolverParams
@@ -37,21 +38,40 @@ def solve_with_prefilter(
     key: jax.Array,
     normal_k: int = 20,
     fused: bool = True,
+    pad_buckets: tuple[int, ...] = (256, 512, 1024, 2048, 4096, 6144, 8192),
 ) -> PipelineResult:
-    """src/dst: (3, C) matched correspondence matrices (original set)."""
-    src = jnp.asarray(src, jnp.float32)
-    dst = jnp.asarray(dst, jnp.float32)
+    """src/dst: (3, C) matched correspondence matrices (original set).
+
+    Inputs are padded to a size bucket (keep_mask = -2 on padding, which
+    never votes anywhere in the solver) so a dataset sweep with varying
+    correspondence counts reuses a handful of compiled programs instead of
+    recompiling per pair.
+    """
+    src = np.asarray(src, np.float32)
+    dst = np.asarray(dst, np.float32)
+    c = src.shape[1]
+    target = pad_buckets[-1]
+    for b in pad_buckets:
+        if c <= b:
+            target = b
+            break
+    src_p = jnp.asarray(pad_columns(src, target))
+    dst_p = jnp.asarray(pad_columns(dst, target))
+    valid = jnp.arange(target) < c
     t0 = time.monotonic()
 
-    src_normals = estimate_normals(src, k=normal_k)
-    dst_normals = estimate_normals(dst, k=normal_k)
-    keep_mask, _ = normal_angle_histogram_filter(src_normals, dst_normals)
+    src_normals = estimate_normals(src_p, k=normal_k, active=valid)
+    dst_normals = estimate_normals(dst_p, k=normal_k, active=valid)
+    keep_mask, _ = normal_angle_histogram_filter(
+        src_normals, dst_normals, active=valid
+    )
+    keep_mask = jnp.where(valid, keep_mask, -2)
 
     if fused:
-        sol = psulvsb_register(src, dst, keep_mask, key, params)
-        jax.block_until_ready(sol)
+        sol = psulvsb_register(src_p, dst_p, keep_mask, key, params)
+        _ = float(sol.scale)  # force completion (tunnel-safe sync)
     else:
-        sol, _info = psulvsb_solve(src, dst, keep_mask, params, key)
+        sol, _info = psulvsb_solve(src_p, dst_p, keep_mask, params, key)
     return PipelineResult(
         solution=sol, keep_mask=keep_mask, elapsed_s=time.monotonic() - t0
     )

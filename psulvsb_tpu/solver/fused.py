@@ -72,7 +72,8 @@ def psulvsb_register(
     )
 
     n_reduced = jnp.sum(keep_mask == 1).astype(dtype)
-    thr = jnp.asarray(params.pr_noise, dtype) * (1.0 + n_reduced / c)
+    n_real = jnp.maximum(jnp.sum(keep_mask >= -1), 1).astype(dtype)
+    thr = jnp.asarray(params.pr_noise, dtype) * (1.0 + n_reduced / n_real)
 
     l_rates = jnp.asarray([r[0] for r in RATE_SCHEDULE], dtype)
     b_rates = jnp.asarray([r[1] for r in RATE_SCHEDULE], dtype)

@@ -600,7 +600,11 @@ def _host_stage(
         mm(best_sampled.rotation, ori_src) + best_sampled.translation[:, None]
     )
     res = jnp.sqrt(jnp.sum((ori_dst - moved) ** 2, axis=0))
-    is_inl = res <= thr
+    # keep_mask == -2 marks PADDING columns (bucket-padded inputs): unlike
+    # the pre-filter's -1 (real points the reference still scores,
+    # registration.cc:1422), padding must never vote.
+    real = hs.keep_mask > -2
+    is_inl = (res <= thr) & real
     curr_count = jnp.sum(is_inl, dtype=jnp.int32)
 
     inlier_counter = hs.inlier_counter + is_inl.astype(jnp.int32)
@@ -653,7 +657,8 @@ def _host_stage(
         first_time=jnp.zeros((), bool),
     )
     best_count = jnp.where(take, curr_count, hs.best_count)
-    w = best_count.astype(dtype) / jnp.asarray(c, dtype)
+    n_real = jnp.maximum(jnp.sum(real, dtype=jnp.int32), 1).astype(dtype)
+    w = best_count.astype(dtype) / n_real
     pro_host = 1.0 - jnp.power(1.0 - w, host_r.astype(dtype))
 
     new_hs = HostState(

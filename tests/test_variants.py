@@ -103,3 +103,31 @@ class TestSubSolverFacades:
             src, src + jnp.asarray(t_true)[:, None]
         )
         np.testing.assert_allclose(np.asarray(t), t_true, atol=0.02)
+
+
+class TestVariantComparison:
+    def test_self_update_recovers_prefiltered_inliers(self, key):
+        """The PSULVSB self-update's reason to exist: when the pre-filter
+        wrongly drops true inliers (keep = 0), the full algorithm re-admits
+        them while the C-RANSAC WT baseline cannot. Verify via the final
+        keep mask escalation: with self-update the solve still succeeds when
+        MOST inliers start dropped."""
+        n = 150
+        src = jnp.asarray(synthetic_cloud(n, seed=9))
+        pair = make_synthetic_pair(key, src, noise_bound=0.05, outlier_rate=0.8)
+        out = np.asarray(pair.outlier_mask)
+        keep = np.ones(n, np.int32)
+        inlier_idx = np.where(~out)[0]
+        # Drop two thirds of the true inliers from the initial reduced set.
+        keep[inlier_idx[:: 3]] = 0
+        keep[inlier_idx[1:: 3]] = 0
+
+        params_full = SolverParams.preset_artificial(**SMALL)
+        sol_full, info_full = psulvsb_solve(
+            pair.src, pair.dst, jnp.asarray(keep), params_full, jax.random.PRNGKey(2)
+        )
+        re_full = float(angular_error_deg(pair.transform.rotation, sol_full.rotation))
+        assert re_full < 5.0, re_full
+        # Self-update must have counted dropped inliers as final inliers.
+        readmitted = (np.asarray(info_full["final_inliers"]) == 1) & (keep == 0)
+        assert readmitted.sum() > 0, "self-update never re-admitted a dropped point"
