@@ -169,3 +169,37 @@ def weighted_procrustes_srt(
     r = rot_from_correlation(h, method=method)
     t = c_dst - mm(r, c_src)
     return r, t
+
+
+# --- small teaser::utils parity helpers (utils.h:31-171) ---------------------
+
+
+def random_sample(key: jax.Array, n: int, k: int) -> jax.Array:
+    """k distinct indices from [0, n) — utils::randomSample (utils.h:31-56;
+    the reference's rejection loop becomes a permutation slice)."""
+    return jax.random.permutation(key, n)[:k]
+
+
+def mask_vector(mask, elements):
+    """utils::maskVector (utils.h:144-157): keep elements where mask is
+    True. Host-side helper (dynamic output size)."""
+    import numpy as np
+
+    mask = np.asarray(mask, bool)
+    return [e for e, m in zip(elements, mask) if m]
+
+
+def find_nonzero(mask) -> "list[int]":
+    """utils::findNonzero (utils.h:164-171). Host-side helper."""
+    import numpy as np
+
+    return [int(i) for i in np.nonzero(np.asarray(mask))[0]]
+
+
+def remove_columns(arr, cols):
+    """utils::removeColumn generalization (utils.h:58-105). Host-side."""
+    import numpy as np
+
+    keep = np.ones(np.asarray(arr).shape[1], bool)
+    keep[list(cols)] = False
+    return np.asarray(arr)[:, keep]

@@ -162,3 +162,21 @@ class TestMetrics:
         pts = jnp.asarray([[0.0, 1.0], [0.0, 0.0], [0.0, 0.0]])
         # cog = (0.5,0,0); max dist = 0.5 -> diameter 1.0
         assert float(calculate_diameter(pts)) == pytest.approx(1.0, abs=1e-6)
+
+
+class TestUtilsParity:
+    def test_random_sample_distinct(self, key):
+        from psulvsb_tpu.core.linalg import random_sample
+
+        idx = np.asarray(random_sample(key, 50, 10))
+        assert len(set(idx.tolist())) == 10
+        assert idx.min() >= 0 and idx.max() < 50
+
+    def test_mask_vector_and_find_nonzero(self):
+        from psulvsb_tpu.core.linalg import mask_vector, find_nonzero, remove_columns
+
+        assert mask_vector([True, False, True], ["a", "b", "c"]) == ["a", "c"]
+        assert find_nonzero([0, 1, 0, 2]) == [1, 3]
+        arr = np.arange(12).reshape(3, 4)
+        out = remove_columns(arr, [1, 3])
+        np.testing.assert_array_equal(out, arr[:, [0, 2]])
