@@ -34,18 +34,30 @@ def make_pair_mesh(devices=None, axis_name: str = "pairs") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
+@functools.partial(jax.jit, static_argnames=("params", "vectorized"))
 def register_batch(
     src_batch: jax.Array,  # (B, 3, C)
     dst_batch: jax.Array,  # (B, 3, C)
     keep_batch: jax.Array,  # (B, C) int32
     keys: jax.Array,  # (B, 2) PRNG keys
     params: SolverParams,
+    vectorized: bool = False,
 ) -> RegistrationSolution:
-    """vmapped fused solves — single-device batch."""
-    return jax.vmap(
-        lambda s, d, k, key: psulvsb_register(s, d, k, key, params)
-    )(src_batch, dst_batch, keep_batch, keys)
+    """Single-device batch of fused solves.
+
+    Default is `lax.map` (sequential per pair): the fused solver's
+    host-round scan exits early via a done-flag `lax.cond`, which a vmap
+    would degrade to a select (every pair then pays max_host_rounds —
+    measured ~1.6x slower per pair). Sequential keeps the early exit;
+    multi-chip scaling comes from sharding pairs across devices
+    (register_batch_sharded), not from vmapping within one.
+    """
+    solve = lambda args: psulvsb_register(args[0], args[1], args[2], args[3], params)
+    if vectorized:
+        return jax.vmap(
+            lambda s, d, k, key: psulvsb_register(s, d, k, key, params)
+        )(src_batch, dst_batch, keep_batch, keys)
+    return jax.lax.map(solve, (src_batch, dst_batch, keep_batch, keys))
 
 
 def register_batch_sharded(
@@ -75,9 +87,10 @@ def register_batch_sharded(
         check_vma=False,
     )
     def solve_shard(src_s, dst_s, keep_s, keys_s):
-        sols = jax.vmap(
-            lambda s, d, k, key: psulvsb_register(s, d, k, key, params)
-        )(src_s, dst_s, keep_s, keys_s)
+        sols = jax.lax.map(
+            lambda args: psulvsb_register(args[0], args[1], args[2], args[3], params),
+            (src_s, dst_s, keep_s, keys_s),
+        )
         valid_count = jnp.sum(sols.valid.astype(jnp.int32))
         inlier_sum = jnp.sum(sols.final_inlier_count)
         totals = jax.lax.psum(
