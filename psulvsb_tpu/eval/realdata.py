@@ -88,6 +88,26 @@ def read_pair_labels(path: str) -> list[tuple[int, int]]:
     return pairs
 
 
+def read_gt_log(path: str) -> dict[tuple[int, int], np.ndarray]:
+    """Standard 3DMatch gt.log: blocks of 'id0 id1 total' followed by a 4x4
+    transform (the scene pair lists the reference drivers consume,
+    teaser_cpp_ply_main.cc:246-263). Returns {(id0, id1): 4x4}."""
+    out: dict[tuple[int, int], np.ndarray] = {}
+    with open(path) as f:
+        lines = [ln.split() for ln in f if ln.strip()]
+    i = 0
+    while i + 4 <= len(lines):
+        hdr = lines[i]
+        if len(hdr) < 2:
+            i += 1
+            continue
+        a, b = int(hdr[0]), int(hdr[1])
+        mat = np.array([[float(x) for x in lines[i + r][:4]] for r in range(1, 5)])
+        out[(a, b)] = mat
+        i += 5
+    return out
+
+
 class PairResult(NamedTuple):
     scale_error: float
     angle_error_deg: float

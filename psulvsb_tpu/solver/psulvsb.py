@@ -122,7 +122,7 @@ def _init_stage_sampled(
     r_cap = params.reduced_cap
     n_l = c * (c - 1) // 2
     active = keep_mask == 1
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2 = jax.random.split(key)
 
     def draw_pairs(k, n):
         ka, kb = jax.random.split(k)

@@ -122,3 +122,23 @@ class TestCorrGen:
             moved = np.asarray(transform_points(t, jnp.asarray(src_kp)))
             err = np.linalg.norm(moved - dst_m, axis=0)
             assert (err < 0.2).mean() > 0.3, err
+
+
+class TestGtLog:
+    def test_read_gt_log(self, tmp_path, rng):
+        from psulvsb_tpu.eval.realdata import read_gt_log
+
+        p = tmp_path / "gt.log"
+        m1 = np.round(rng.normal(size=(4, 4)), 4)
+        m2 = np.round(rng.normal(size=(4, 4)), 4)
+        with open(p, "w") as f:
+            f.write("0 1 60\n")
+            for row in m1:
+                f.write(" ".join(str(v) for v in row) + "\n")
+            f.write("2 5 60\n")
+            for row in m2:
+                f.write(" ".join(str(v) for v in row) + "\n")
+        out = read_gt_log(str(p))
+        assert set(out) == {(0, 1), (2, 5)}
+        np.testing.assert_allclose(out[(0, 1)], m1)
+        np.testing.assert_allclose(out[(2, 5)], m2)
