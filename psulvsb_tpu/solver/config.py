@@ -138,6 +138,10 @@ class SolverParams:
     # (shifted power iteration, pure matmuls — fastest under vmapped
     # while_loops) or "eigh" (exact 4x4 eigendecomposition).
     gnc_rot_method: str = "power"
+    # GNC execution: "xla" (vmapped lax.while_loop) or "pallas" (the whole
+    # reweighting loop VMEM-resident in one kernel, ops/pallas_gnc.py;
+    # GNC_TLS only — FGR falls back to xla).
+    gnc_impl: str = "xla"
 
     @property
     def pr_noise(self) -> float:

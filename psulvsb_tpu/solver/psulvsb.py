@@ -59,12 +59,19 @@ from psulvsb_tpu.pairs.tims import (
     peak_bin_mask,
 )
 from psulvsb_tpu.robust.scale import select_scale_inliers, solve_scale_tls
+from psulvsb_tpu.robust.translation import solve_translation
 from psulvsb_tpu.clique.kcore import greedy_clique
-from psulvsb_tpu.solver.basic import WarmState, basic_step, score_transform
+from psulvsb_tpu.solver.basic import (
+    WarmState,
+    basic_step,
+    endpoint_mask,
+    score_transform,
+)
 from psulvsb_tpu.solver.config import (
     SolverParams,
     RATE_SCHEDULE,
     InlierSelectionMode,
+    RotationEstimationAlgorithm,
 )
 from psulvsb_tpu.solver.solution import RegistrationSolution
 
@@ -421,12 +428,101 @@ def _local_stage(
         sim = _similar(res.scale, res.rotation, res.translation, warm, params)
         return res.scale, res.rotation, res.translation, count, sim
 
+    def _pick_basic(hkey):
+        """Sample one hypothesis' basic TIM set (vmapped)."""
+        g = jax.random.gumbel(hkey, (cap,), dtype=jnp.float32)
+        score = jnp.where(s_ok, g, -jnp.inf)
+        _, top = jax.lax.top_k(score, bcap)
+        sel_ok = jnp.arange(bcap) < basic_choose
+        b_i = jnp.where(sel_ok, s_i[top], 0)
+        b_j = jnp.where(sel_ok, s_j[top], 0)
+        return b_i, b_j, sel_ok
+
+    def eval_batch_pallas(hkeys, warm):
+        """Batched hypothesis evaluation with the whole-GNC Pallas kernel
+        (ops/pallas_gnc.py): per-hypothesis sampling + scale (vmapped),
+        ONE kernel for all GNC loops, then translation + scoring (vmapped).
+        Semantics identical to eval_hypothesis for GNC_TLS without the
+        clique stage; the b_rate == 1.0 clique round falls back to the
+        vmapped path in batch_body."""
+        nb = jnp.asarray(params.inner_noise_bound, dtype)
+        cb2 = jnp.asarray(params.inner_cbar2, dtype)
+
+        def pre(hkey):
+            k_pick, k_scale = jax.random.split(hkey)
+            b_i, b_j, sel_ok = _pick_basic(k_pick)
+            src_t = ori_src[:, b_j] - ori_src[:, b_i]
+            dst_t = ori_dst[:, b_j] - ori_dst[:, b_i]
+            if params.estimate_scaling:
+                scale, sc_inl, _ = solve_scale_tls(
+                    src_t, dst_t, nb, cb2, k_scale, active=sel_ok,
+                    warm_scale=warm.scale, use_warm=~warm.first_time,
+                    max_draws=params.scale_max_draws,
+                )
+                rot_mask = sc_inl
+            else:
+                scale, _, _ = select_scale_inliers(src_t, dst_t, nb, cb2, sel_ok)
+                rot_mask = sel_ok
+            return b_i, b_j, scale, rot_mask, src_t, dst_t
+
+        b_i_b, b_j_b, scale_b, rot_mask_b, src_t_b, dst_t_b = jax.vmap(pre)(hkeys)
+
+        inv_s = 1.0 / jnp.maximum(scale_b, 1e-30)  # (batch,)
+        from psulvsb_tpu.ops.pallas_gnc import gnc_batch
+
+        rot_b, rot_inl_b = gnc_batch(
+            src_t_b,  # (B, 3, N)
+            dst_t_b * inv_s[:, None, None],
+            rot_mask_b,
+            nb * 2.0 * inv_s,
+            warm.rotation,
+            ~warm.first_time,
+            max_iterations=params.inner_rotation_max_iterations,
+            gnc_factor=params.inner_rotation_gnc_factor,
+            cost_threshold=params.inner_rotation_cost_threshold,
+        )
+
+        def post(b_i, b_j, rot_inl, scale, rotation, inv_s_h):
+            trans_points = endpoint_mask(b_i, b_j, rot_inl, c)
+            moved = scale * mm(rotation, ori_src)
+            t_s, _, _ = solve_translation(
+                moved, ori_dst, nb, cb2, active=trans_points,
+                warm_translation=warm.translation, use_warm=~warm.first_time,
+            )
+            translation = t_s * inv_s_h
+            count, _ = score_transform(
+                ori_src, ori_dst, sampled_pt_mask, scale, rotation,
+                translation, thr,
+            )
+            sim = _similar(scale, rotation, translation, warm, params)
+            return translation, count, sim
+
+        transs, counts, sims = jax.vmap(post)(
+            b_i_b, b_j_b, rot_inl_b, scale_b, rot_b, inv_s
+        )
+        return scale_b, rot_b, transs, counts, sims
+
+    use_pallas_gnc = (
+        params.gnc_impl == "pallas"
+        and params.rotation_estimation_algorithm
+        == RotationEstimationAlgorithm.GNC_TLS
+    )
+
     def batch_body(st: LocalState) -> LocalState:
         key, sub = jax.random.split(st.key)
         hkeys = jax.random.split(sub, batch)
-        scales, rots, transs, counts, sims = jax.vmap(
-            eval_hypothesis, in_axes=(0, None)
-        )(hkeys, st.warm)
+        if use_pallas_gnc:
+            # The escalated clique round (b_rate == 1.0) keeps the vmapped
+            # path; everything else takes the fused kernel.
+            scales, rots, transs, counts, sims = jax.lax.cond(
+                b_rate_is_one,
+                lambda: jax.vmap(eval_hypothesis, in_axes=(0, None))(hkeys, st.warm),
+                lambda: eval_batch_pallas(hkeys, st.warm),
+            )
+        else:
+            scales, rots, transs, counts, sims = jax.vmap(
+                eval_hypothesis, in_axes=(0, None)
+            )(hkeys, st.warm)
 
         first_time = st.warm.first_time
         sims = sims & ~first_time  # early-accept only after first scoring

@@ -147,3 +147,22 @@ class TestSampledInit:
         sol, _ = psulvsb_solve(pair.src, dst, jnp.ones((120,), jnp.int32),
                                params, jax.random.PRNGKey(3))
         assert float(sol.scale) == pytest.approx(s_true, abs=0.05)
+
+
+class TestPallasGncSolver:
+    def test_pallas_gnc_impl_matches_quality(self, key):
+        """Full PSULVSB solve with gnc_impl='pallas' (whole-GNC kernel,
+        interpret mode on CPU): same accuracy as the XLA path."""
+        src = jnp.asarray(synthetic_cloud(120, seed=13))
+        pair = make_synthetic_pair(key, src, noise_bound=0.05, outlier_rate=0.8)
+        keep = jnp.ones((120,), jnp.int32)
+        for impl in ("xla", "pallas"):
+            params = SolverParams.preset_artificial(
+                sampled_cap=512, basic_cap=256, hypothesis_batch=4,
+                gnc_impl=impl,
+            )
+            sol, _ = psulvsb_solve(pair.src, pair.dst, keep, params,
+                                   jax.random.PRNGKey(17))
+            re = float(angular_error_deg(pair.transform.rotation, sol.rotation))
+            te = float(jnp.linalg.norm(sol.translation - pair.transform.translation))
+            assert re < 5.0 and te < 0.3, f"{impl}: RE={re} TE={te}"
