@@ -502,10 +502,14 @@ def _local_stage(
         )
         return scale_b, rot_b, transs, counts, sims
 
+    # The whole-GNC kernel engages for GNC_TLS at basic caps the Mosaic
+    # toolchain handles (the remote compile helper crashes above N = 1024;
+    # probed empirically — larger caps fall back to the XLA path).
     use_pallas_gnc = (
         params.gnc_impl == "pallas"
         and params.rotation_estimation_algorithm
         == RotationEstimationAlgorithm.GNC_TLS
+        and bcap <= 1024
     )
 
     def batch_body(st: LocalState) -> LocalState:
