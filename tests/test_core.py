@@ -180,3 +180,26 @@ class TestUtilsParity:
         arr = np.arange(12).reshape(3, 4)
         out = remove_columns(arr, [1, 3])
         np.testing.assert_array_equal(out, arr[:, [0, 2]])
+
+
+class TestPointCloud:
+    def test_container_parity(self):
+        from psulvsb_tpu.core.geometry import PointCloud
+
+        pc = PointCloud()
+        pc.push_back((1.0, 2.0, 3.0))
+        pc.push_back({"x": 4.0, "y": 5.0, "z": 6.0})
+        assert pc.size() == len(pc) == 2
+        assert pc[0] == (1.0, 2.0, 3.0)
+        arr = pc.asarray()
+        assert arr.shape == (3, 2)
+        np.testing.assert_allclose(arr[:, 1], [4, 5, 6])
+        pc.clear()
+        assert pc.size() == 0
+
+    def test_from_array(self, rng):
+        from psulvsb_tpu.core.geometry import PointCloud
+
+        pts = rng.normal(size=(3, 7)).astype(np.float32)
+        pc = PointCloud(pts)
+        np.testing.assert_allclose(pc.asarray(), pts, atol=1e-6)
