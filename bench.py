@@ -97,6 +97,26 @@ def main():
 
     throughput = measure_batched_throughput(params)
 
+    # North-star size (BASELINE.md): 5000 correspondences, 90% outliers —
+    # informational field; no published reference number exists at this
+    # size (the C++ implementation scales O(C^2)+ from 0.949 s at 1889).
+    src5 = jnp.asarray(synthetic_cloud(5000, seed=0))
+    pair5 = make_synthetic_pair(
+        jax.random.PRNGKey(1), src5, noise_bound=0.01, outlier_rate=OUTLIER_RATE
+    )
+    keep5 = jnp.ones((5000,), jnp.int32)
+    s5 = psulvsb_register(pair5.src, pair5.dst, keep5, jax.random.PRNGKey(0), params)
+    _ = float(s5.scale)
+    t5 = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        s5 = psulvsb_register(
+            pair5.src, pair5.dst, keep5, jax.random.PRNGKey(50 + i), params
+        )
+        _ = float(s5.translation[0])
+        t5.append(time.perf_counter() - t0)
+    re5 = float(angular_error_deg(pair5.transform.rotation, s5.rotation))
+
     print(
         json.dumps(
             {
@@ -106,6 +126,8 @@ def main():
                 "vs_baseline": round(BASELINE_S / best, 2),
                 "median_s": round(times[len(times) // 2], 4),
                 "batch8_pairs_per_s": round(throughput, 2),
+                "solve_5000corr_s": round(min(t5), 4),
+                "rot_err_5000_deg": round(re5, 4),
                 "correct": ok,
                 "rot_err_deg": round(re, 4),
                 "trans_err": round(te, 4),
