@@ -11,6 +11,7 @@ Average.csv.
 from __future__ import annotations
 
 import os
+import zlib
 from typing import NamedTuple
 
 import jax
@@ -79,8 +80,9 @@ def run_protocol(
         src = jnp.asarray(cloud, jnp.float32)
         rows = []
         results: list[TrialResult] = []
+        name_tag = zlib.crc32(name.encode()) % (1 << 30)  # deterministic
         for t in range(trials):
-            key = jax.random.fold_in(jax.random.PRNGKey(seed), hash(name) % 2**31 + t)
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), name_tag + t)
             r = run_trial(key, src, params, noise_bound, outlier_rate)
             results.append(r)
             rows.append([t, r.scale_error, r.angle_error_deg, r.trans_error, r.rmse, r.time_s])

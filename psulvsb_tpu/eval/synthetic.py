@@ -57,10 +57,22 @@ def make_synthetic_pair(
     noise_bound: float = 0.05,
     outlier_rate: float = 0.9,
     max_translation: float = 3.0,
+    outlier_mode: str = "displace",
 ) -> SyntheticPair:
-    """dst = T(src) + uniform noise, then `outlier_rate` of the points get a
-    large per-axis displacement with magnitude uniform in [5, 10] and random
-    sign (PSULVSB.cc:196-221)."""
+    """dst = T(src) + uniform noise, then `outlier_rate` of the points are
+    corrupted.
+
+    outlier_mode:
+      "displace" — large per-axis displacement with magnitude uniform in
+        [5, 10] and random sign (PSULVSB.cc:196-221, the published
+        protocol). Displaced points float in space, so normals estimated on
+        the corrupted cloud are garbage — hostile to the normal-angle
+        pre-filter by construction.
+      "mismatch" — the outlier's dst is the (transformed, noisy) position of
+        a DIFFERENT random src point: both endpoints remain real surface
+        points, like wrong FPFH/FCGF matches on real scans. Use this for
+        realistic correspondence-benchmark fixtures.
+    """
     n = src.shape[1]
     k_t, k_noise, k_sel, k_mag, k_sign = jax.random.split(key, 5)
     gt = random_se3(k_t, max_translation=max_translation, dtype=src.dtype)
@@ -72,9 +84,17 @@ def make_synthetic_pair(
     n_out = int(round(n * outlier_rate))
     perm = jax.random.permutation(k_sel, n)
     outlier_mask = jnp.zeros((n,), bool).at[perm[:n_out]].set(True)
-    mag = jax.random.uniform(k_mag, (3, n), dtype=src.dtype, minval=5.0, maxval=10.0)
-    sign = jnp.where(
-        jax.random.uniform(k_sign, (3, n), dtype=src.dtype) <= 0.5, -1.0, 1.0
-    )
-    dst = jnp.where(outlier_mask[None, :], dst + sign * mag, dst)
+    if outlier_mode == "displace":
+        mag = jax.random.uniform(
+            k_mag, (3, n), dtype=src.dtype, minval=5.0, maxval=10.0
+        )
+        sign = jnp.where(
+            jax.random.uniform(k_sign, (3, n), dtype=src.dtype) <= 0.5, -1.0, 1.0
+        )
+        dst = jnp.where(outlier_mask[None, :], dst + sign * mag, dst)
+    elif outlier_mode == "mismatch":
+        wrong = jax.random.permutation(k_mag, n)
+        dst = jnp.where(outlier_mask[None, :], dst[:, wrong], dst)
+    else:
+        raise ValueError(f"unknown outlier_mode {outlier_mode!r}")
     return SyntheticPair(src=src, dst=dst, transform=gt, outlier_mask=outlier_mask)

@@ -142,3 +142,22 @@ class TestGtLog:
         assert set(out) == {(0, 1), (2, 5)}
         np.testing.assert_allclose(out[(0, 1)], m1)
         np.testing.assert_allclose(out[(2, 5)], m2)
+
+
+class TestMismatchOutliers:
+    def test_mismatch_pair_solves_with_prefilter(self, key):
+        """Realistic correspondence outliers (wrong matches between real
+        surface points): the normal-angle pre-filter must keep enough true
+        inliers for the full pipeline to succeed."""
+        from psulvsb_tpu.eval.pipeline import solve_with_prefilter
+        from psulvsb_tpu.core.metrics import angular_error_deg
+
+        src = jnp.asarray(synthetic_cloud(300, seed=20))
+        pair = make_synthetic_pair(key, src, noise_bound=0.01, outlier_rate=0.8,
+                                   outlier_mode="mismatch")
+        params = SolverParams.preset_3dmatch(
+            estimate_scaling=False, noise_bound=0.05, **SMALL
+        )
+        res = solve_with_prefilter(pair.src, pair.dst, params, jax.random.PRNGKey(4))
+        re = float(angular_error_deg(pair.transform.rotation, res.solution.rotation))
+        assert re < 5.0, re
