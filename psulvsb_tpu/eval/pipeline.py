@@ -39,6 +39,7 @@ def solve_with_prefilter(
     normal_k: int = 20,
     fused: bool = True,
     pad_buckets: tuple[int, ...] = (256, 512, 1024, 2048, 4096, 6144, 8192),
+    use_prefilter: bool = True,
 ) -> PipelineResult:
     """src/dst: (3, C) matched correspondence matrices (original set).
 
@@ -46,6 +47,13 @@ def solve_with_prefilter(
     never votes anywhere in the solver) so a dataset sweep with varying
     correspondence counts reuses a handful of compiled programs instead of
     recompiling per pair.
+
+    use_prefilter: the normal-angle histogram filter permanently discards
+    (-1) bins far from the peak (PSULVSB.cc:156-168 — reference parity).
+    Because an inlier's src/dst normal angle acos(n . R n) spreads with the
+    rotation magnitude, large-rotation pairs can lose true inliers to the
+    -1 bucket with no self-update recourse; pass False to feed the solver
+    the full correspondence set instead.
     """
     src = np.asarray(src, np.float32)
     dst = np.asarray(dst, np.float32)
@@ -60,12 +68,15 @@ def solve_with_prefilter(
     valid = jnp.arange(target) < c
     t0 = time.monotonic()
 
-    src_normals = estimate_normals(src_p, k=normal_k, active=valid)
-    dst_normals = estimate_normals(dst_p, k=normal_k, active=valid)
-    keep_mask, _ = normal_angle_histogram_filter(
-        src_normals, dst_normals, active=valid
-    )
-    keep_mask = jnp.where(valid, keep_mask, -2)
+    if use_prefilter:
+        src_normals = estimate_normals(src_p, k=normal_k, active=valid)
+        dst_normals = estimate_normals(dst_p, k=normal_k, active=valid)
+        keep_mask, _ = normal_angle_histogram_filter(
+            src_normals, dst_normals, active=valid
+        )
+        keep_mask = jnp.where(valid, keep_mask, -2)
+    else:
+        keep_mask = jnp.where(valid, 1, -2).astype(jnp.int32)
 
     if fused:
         sol = psulvsb_register(src_p, dst_p, keep_mask, key, params)

@@ -126,9 +126,14 @@ def evaluate_pair(
     key: jax.Array,
     ddtime: int = 10,
     test_scale: float = 1.0,
+    use_prefilter: bool = True,
 ) -> PairResult:
     """Best-of-ddtime evaluation of one pair (main.cc:330-422): repeat the
-    full pipeline, keep the lowest-RMSE run, apply the success criteria."""
+    full pipeline, keep the lowest-RMSE run, apply the success criteria.
+
+    The pre-filter is deterministic, so when it mis-discards inliers every
+    ddtime retry fails the same way (true of the reference too); the last
+    retry runs without it as a fallback when use_prefilter is on."""
     src_j = jnp.asarray(src, jnp.float32)
     dst_j = jnp.asarray(dst * test_scale, jnp.float32)
     gt_r = jnp.asarray(gt[:3, :3], jnp.float32)
@@ -137,7 +142,10 @@ def evaluate_pair(
 
     best: PairResult | None = None
     for t in range(ddtime):
-        res = solve_with_prefilter(src_j, dst_j, params, jax.random.fold_in(key, t))
+        pre = use_prefilter and (t < ddtime - 1 or ddtime == 1)
+        res = solve_with_prefilter(
+            src_j, dst_j, params, jax.random.fold_in(key, t), use_prefilter=pre
+        )
         sol = res.solution
         est_pts = float(sol.scale) * (mm(sol.rotation, src_j) + sol.translation[:, None])
         # RMSE vs GT placement over all correspondences, scale-normalized
