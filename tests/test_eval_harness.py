@@ -161,3 +161,22 @@ class TestMismatchOutliers:
         res = solve_with_prefilter(pair.src, pair.dst, params, jax.random.PRNGKey(4))
         re = float(angular_error_deg(pair.transform.rotation, res.solution.rotation))
         assert re < 5.0, re
+
+
+class TestPrefilterFallback:
+    def test_evaluate_pair_last_retry_unfiltered(self, key):
+        """ddtime >= 2: the final retry runs without the pre-filter, so a
+        pair whose inliers the filter discards still registers."""
+        src = jnp.asarray(synthetic_cloud(200, seed=30))
+        pair = make_synthetic_pair(key, src, noise_bound=0.01, outlier_rate=0.7,
+                                   outlier_mode="mismatch")
+        gt = np.asarray(pair.transform.as_matrix())
+        params = SolverParams.preset_3dmatch(
+            estimate_scaling=False, noise_bound=0.05, **SMALL
+        )
+        r = realdata.evaluate_pair(
+            np.asarray(pair.src), np.asarray(pair.dst), gt, params,
+            realdata.SuccessCriteria.threedmatch(), jax.random.PRNGKey(1),
+            ddtime=2,
+        )
+        assert r.success, r
