@@ -119,11 +119,31 @@ class RobustRegistrationSolver:
     def getFinalInliers(self):
         return self._info.get("final_inliers")
 
+    def _mask(self, name: str):
+        if self._solution is None:
+            raise RuntimeError("call solve() first")
+        m = self._info.get(name)
+        if m is None:
+            raise RuntimeError(
+                f"{name} not produced by the last solve (registration.h:600-746 "
+                "getters are populated by solve() and solve_decoupled())"
+            )
+        return m
+
     def getScaleInliersMask(self):
-        return self._info.get("scale_inliers")
+        """(L,) bool over the winning basic TIM set (registration.h:618)."""
+        return self._mask("scale_inliers")
 
     def getRotationInliersMask(self):
-        return self._info.get("rotation_inliers")
+        """(L,) bool over the winning basic TIM set (registration.h:661)."""
+        return self._mask("rotation_inliers")
 
     def getTranslationInliersMask(self):
-        return self._info.get("translation_inliers")
+        """(C,) bool over points (registration.h:697)."""
+        return self._mask("translation_inliers")
+
+    def getBasicTIMEndpoints(self):
+        """(i, j) original-point column indices of the winning basic TIM set
+        — the map the TIM-level masks index through (the reference exposes
+        the analogous src/dst TIM maps, registration.h:707-746)."""
+        return self._mask("basic_tims_i"), self._mask("basic_tims_j")

@@ -122,7 +122,13 @@ def rot_from_correlation(h: jax.Array, method: str = "eigh") -> jax.Array:
         for _ in range(5):
             ks = mm(ks, ks)
             ks = ks / (jnp.sqrt(jnp.sum(ks * ks)) + 1e-30)
-        q = mm(ks, jnp.full((4,), 0.5, dtype=k.dtype))
+        # The converged Ks is (near) rank-1 lambda*v*v^T; its largest-norm
+        # column is a scaled copy of the dominant eigenvector v regardless
+        # of orientation (max |v_j| >= 1/2 for unit v). A fixed probe like
+        # (0.5,)*4 collapses when v is orthogonal to the all-ones direction
+        # (e.g. 180-degree rotations with near-zero quaternion component
+        # sums, common in symmetric scenes).
+        q = ks[:, jnp.argmax(jnp.sum(ks * ks, axis=0))]
     else:
         raise ValueError(f"unknown method {method!r}")
     return _quat_to_rot(q / (jnp.linalg.norm(q) + 1e-30))

@@ -31,6 +31,17 @@ class PipelineResult(NamedTuple):
     elapsed_s: float
 
 
+DEFAULT_PAD_BUCKETS = (256, 512, 1024, 2048, 4096, 6144, 8192)
+
+
+def pad_bucket(c: int, pad_buckets: tuple[int, ...] = DEFAULT_PAD_BUCKETS) -> int:
+    """Padded size bucket a C-correspondence pair compiles under."""
+    for b in pad_buckets:
+        if c <= b:
+            return b
+    return pad_buckets[-1]
+
+
 def solve_with_prefilter(
     src,
     dst,
@@ -38,7 +49,7 @@ def solve_with_prefilter(
     key: jax.Array,
     normal_k: int = 20,
     fused: bool = True,
-    pad_buckets: tuple[int, ...] = (256, 512, 1024, 2048, 4096, 6144, 8192),
+    pad_buckets: tuple[int, ...] = DEFAULT_PAD_BUCKETS,
     use_prefilter: bool = True,
 ) -> PipelineResult:
     """src/dst: (3, C) matched correspondence matrices (original set).
@@ -58,11 +69,7 @@ def solve_with_prefilter(
     src = np.asarray(src, np.float32)
     dst = np.asarray(dst, np.float32)
     c = src.shape[1]
-    target = pad_buckets[-1]
-    for b in pad_buckets:
-        if c <= b:
-            target = b
-            break
+    target = pad_bucket(c, pad_buckets)
     src_p = jnp.asarray(pad_columns(src, target))
     dst_p = jnp.asarray(pad_columns(dst, target))
     valid = jnp.arange(target) < c

@@ -30,7 +30,7 @@ import numpy as np
 
 from psulvsb_tpu.core.metrics import angular_error_deg
 from psulvsb_tpu.utils.precision import mm
-from psulvsb_tpu.eval.pipeline import solve_with_prefilter
+from psulvsb_tpu.eval.pipeline import pad_bucket, solve_with_prefilter
 from psulvsb_tpu.eval.reporting import write_csv, mean_std
 from psulvsb_tpu.solver.config import SolverParams
 
@@ -108,6 +108,13 @@ def read_gt_log(path: str) -> dict[tuple[int, int], np.ndarray]:
     return out
 
 
+# Programs warmed (compiled + one dispatch) per (pad bucket, params) so a
+# pair's recorded time_s never includes jit compilation — the C++ reference
+# has no compile step, and its 60 s success budget (main.cc:424) would
+# otherwise be eaten by a per-bucket artifact on the first pair.
+_WARMED: set = set()
+
+
 class PairResult(NamedTuple):
     scale_error: float
     angle_error_deg: float
@@ -139,6 +146,18 @@ def evaluate_pair(
     gt_r = jnp.asarray(gt[:3, :3], jnp.float32)
     gt_t = jnp.asarray(gt[:3, 3], jnp.float32)
     gt_pts = mm(gt_r, src_j) + gt_t[:, None]
+
+    warm_key = (pad_bucket(src_j.shape[1]), params, use_prefilter)
+    if warm_key not in _WARMED:
+        # Untimed warm-up dispatch: compiles the bucket's programs (prefilter
+        # + solver share shapes across retries, and the prefilter-off solver
+        # program is the same compiled solve with a different keep_mask
+        # input, so one warm run covers every retry variant).
+        solve_with_prefilter(
+            src_j, dst_j, params, jax.random.fold_in(key, 0x7FFFFFFF),
+            use_prefilter=use_prefilter,
+        )
+        _WARMED.add(warm_key)
 
     best: PairResult | None = None
     for t in range(ddtime):

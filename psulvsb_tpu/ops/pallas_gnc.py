@@ -89,11 +89,22 @@ def _rot_from_h9(h: list) -> list:
             nrm = nrm + e * e
         inv = 1.0 / (jnp.sqrt(nrm) + 1e-30)
         ks = [e * inv for e in ks]
-    # q = Ks @ (0.5, 0.5, 0.5, 0.5)
-    q = [
-        0.5 * (ks[4 * i] + ks[4 * i + 1] + ks[4 * i + 2] + ks[4 * i + 3])
-        for i in range(4)
+    # q = largest-norm column of the converged Ks (rank-1 lambda*v*v^T, so
+    # that column is a scaled dominant eigenvector v whatever its
+    # orientation; a fixed all-ones probe collapses for 180-degree
+    # rotations where v sums to ~0 — mirrors core/linalg.py 'power').
+    # Branchless column select: Mosaic has no gather here.
+    col_n = [
+        ks[c] * ks[c] + ks[4 + c] * ks[4 + c]
+        + ks[8 + c] * ks[8 + c] + ks[12 + c] * ks[12 + c]
+        for c in range(4)
     ]
+    best_n = col_n[0]
+    q = [ks[0], ks[4], ks[8], ks[12]]
+    for c in range(1, 4):
+        take = jnp.where(col_n[c] > best_n, 1.0, 0.0)
+        q = [take * ks[4 * i + c] + (1.0 - take) * q[i] for i in range(4)]
+        best_n = jnp.maximum(col_n[c], best_n)
     qn = q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3]
     inv = 1.0 / (jnp.sqrt(qn) + 1e-30)
     q = [e * inv for e in q]

@@ -62,5 +62,7 @@ def solve_decoupled(
         "rotation_inliers": result.rotation_inliers,
         "translation_inliers": result.translation_point_inliers,
         "translation_points": result.translation_points,
+        "basic_tims_i": jnp.asarray(idx_i),
+        "basic_tims_j": jnp.asarray(idx_j),
     }
     return solution, info

@@ -66,6 +66,15 @@ class SolverParams:
     rotation_tim_graph: InlierGraphFormulation = InlierGraphFormulation.CHAIN
     inlier_selection_mode: InlierSelectionMode = InlierSelectionMode.PMC_EXACT
     kcore_heuristic_threshold: float = 0.5
+    # PMC_EXACT semantics inside the jitted solver: by default the escalated
+    # b_rate == 1.0 clique round runs the on-device greedy heuristic (the
+    # reference invokes the exact PMC branch-and-bound there, graph.cc:84-124
+    # — combinatorial search does not map to the TPU). Set True to route that
+    # round through a jax.pure_callback into the native C++ exact solver
+    # (clique/pmc.py). Off by default: host callbacks through the remote TPU
+    # tunnel are slow and the greedy mask is empirically equivalent on
+    # scale-consistency graphs (see README "divergences").
+    exact_clique_callback: bool = False
     use_max_clique: bool = True  # deprecated upstream; kept for parity
     max_clique_exact_solution: bool = True  # deprecated upstream
     max_clique_time_limit: float = 3600.0

@@ -94,7 +94,7 @@ def psulvsb_register(
                 ori_src, ori_dst, s_i, s_j, s_ok, s_count, s_pts,
                 b_rate, b_one, carry.hs.host_r, carry.warm, thr, params, k_local,
             )
-            hs, new_corr = _host_stage(
+            hs, new_corr, _take = _host_stage(
                 ori_src, ori_dst, carry.hs, local.best, local.local_r, b_one,
                 thr, params, k_host,
             )

@@ -308,6 +308,32 @@ def _sample_stage(
 # =============================================================================
 
 
+class HypExtras(NamedTuple):
+    """Per-hypothesis stage masks of the winning basic iteration — the data
+    behind the reference's inlier getters (registration.h:600-746):
+    getScaleInliersMask / getRotationInliersMask over the basic TIM set
+    (indexed by b_i/b_j into the original points) and
+    getTranslationInliersMask over points."""
+
+    b_i: jax.Array  # (bcap,) int32 — basic TIM endpoint indices
+    b_j: jax.Array  # (bcap,) int32
+    scale_inliers: jax.Array  # (bcap,) bool
+    rotation_inliers: jax.Array  # (bcap,) bool
+    translation_inliers: jax.Array  # (C,) bool
+    translation_points: jax.Array  # (C,) bool — points fed to translation
+
+    @staticmethod
+    def zeros(bcap: int, c: int) -> "HypExtras":
+        return HypExtras(
+            b_i=jnp.zeros((bcap,), jnp.int32),
+            b_j=jnp.zeros((bcap,), jnp.int32),
+            scale_inliers=jnp.zeros((bcap,), bool),
+            rotation_inliers=jnp.zeros((bcap,), bool),
+            translation_inliers=jnp.zeros((c,), bool),
+            translation_points=jnp.zeros((c,), bool),
+        )
+
+
 class LocalState(NamedTuple):
     key: jax.Array
     warm: WarmState
@@ -319,6 +345,7 @@ class LocalState(NamedTuple):
     hypotheses: jax.Array  # () int32 — hypotheses consumed
     escalate: jax.Array  # () bool — stagnation triggered
     done: jax.Array  # () bool
+    extras: HypExtras  # stage masks of the current best hypothesis
 
 
 def _similar(
@@ -403,6 +430,35 @@ def _local_stage(
                 adj = jnp.zeros((c, c), bool)
                 adj = adj.at[b_i, b_j].max(sc_inl)
                 adj = adj.at[b_j, b_i].max(sc_inl)
+                if (
+                    mode == InlierSelectionMode.PMC_EXACT
+                    and params.exact_clique_callback
+                ):
+                    # Exact PMC parity (graph.cc:84-124): host callback into
+                    # the native branch-and-bound. Opt-in (config.py) — the
+                    # default keeps the on-device greedy heuristic.
+                    from psulvsb_tpu.clique import pmc as _pmc
+
+                    time_limit = params.max_clique_time_limit
+
+                    def _host_exact(adj_np, act_np):
+                        import numpy as _np
+
+                        a = _np.asarray(adj_np, bool)
+                        act = _np.asarray(act_np, bool)
+                        a = a & act[None, :] & act[:, None]
+                        members = _pmc.exact_max_clique(a, time_limit)
+                        out = _np.zeros(a.shape[0], bool)
+                        out[members] = True
+                        return out
+
+                    return jax.pure_callback(
+                        _host_exact,
+                        jax.ShapeDtypeStruct((c,), jnp.bool_),
+                        adj,
+                        sampled_pt_mask,
+                        vmap_method="sequential",
+                    )
                 return greedy_clique(adj, sampled_pt_mask)
 
             clique_pts = jax.lax.cond(
@@ -426,7 +482,15 @@ def _local_stage(
             res.translation, thr,
         )
         sim = _similar(res.scale, res.rotation, res.translation, warm, params)
-        return res.scale, res.rotation, res.translation, count, sim
+        extras = HypExtras(
+            b_i=b_i,
+            b_j=b_j,
+            scale_inliers=res.scale_inliers,
+            rotation_inliers=res.rotation_inliers,
+            translation_inliers=res.translation_point_inliers,
+            translation_points=res.translation_points,
+        )
+        return res.scale, res.rotation, res.translation, count, sim, extras
 
     def _pick_basic(hkey):
         """Sample one hypothesis' basic TIM set (vmapped)."""
@@ -461,11 +525,16 @@ def _local_stage(
                 )
                 rot_mask = sc_inl
             else:
-                scale, _, _ = select_scale_inliers(src_t, dst_t, nb, cb2, sel_ok)
+                scale, sc_inl, _ = select_scale_inliers(src_t, dst_t, nb, cb2, sel_ok)
+                # Known scale: rotation consumes ALL basic TIMs
+                # (registration.cc:984-991); the scale-inlier mask is kept
+                # only for the getter surface.
                 rot_mask = sel_ok
-            return b_i, b_j, scale, rot_mask, src_t, dst_t
+            return b_i, b_j, scale, sc_inl, rot_mask, src_t, dst_t
 
-        b_i_b, b_j_b, scale_b, rot_mask_b, src_t_b, dst_t_b = jax.vmap(pre)(hkeys)
+        b_i_b, b_j_b, scale_b, sc_inl_b, rot_mask_b, src_t_b, dst_t_b = jax.vmap(pre)(
+            hkeys
+        )
 
         inv_s = 1.0 / jnp.maximum(scale_b, 1e-30)  # (batch,)
         from psulvsb_tpu.ops.pallas_gnc import gnc_batch
@@ -482,10 +551,10 @@ def _local_stage(
             cost_threshold=params.inner_rotation_cost_threshold,
         )
 
-        def post(b_i, b_j, rot_inl, scale, rotation, inv_s_h):
+        def post(b_i, b_j, sc_inl, rot_inl, scale, rotation, inv_s_h):
             trans_points = endpoint_mask(b_i, b_j, rot_inl, c)
             moved = scale * mm(rotation, ori_src)
-            t_s, _, _ = solve_translation(
+            t_s, t_inl, _ = solve_translation(
                 moved, ori_dst, nb, cb2, active=trans_points,
                 warm_translation=warm.translation, use_warm=~warm.first_time,
             )
@@ -495,12 +564,20 @@ def _local_stage(
                 translation, thr,
             )
             sim = _similar(scale, rotation, translation, warm, params)
-            return translation, count, sim
+            extras = HypExtras(
+                b_i=b_i,
+                b_j=b_j,
+                scale_inliers=sc_inl,
+                rotation_inliers=rot_inl,
+                translation_inliers=t_inl,
+                translation_points=trans_points,
+            )
+            return translation, count, sim, extras
 
-        transs, counts, sims = jax.vmap(post)(
-            b_i_b, b_j_b, rot_inl_b, scale_b, rot_b, inv_s
+        transs, counts, sims, extras = jax.vmap(post)(
+            b_i_b, b_j_b, sc_inl_b, rot_inl_b, scale_b, rot_b, inv_s
         )
-        return scale_b, rot_b, transs, counts, sims
+        return scale_b, rot_b, transs, counts, sims, extras
 
     # The whole-GNC kernel engages for GNC_TLS at basic caps the Mosaic
     # toolchain handles (the remote compile helper crashes above N = 1024;
@@ -518,13 +595,13 @@ def _local_stage(
         if use_pallas_gnc:
             # The escalated clique round (b_rate == 1.0) keeps the vmapped
             # path; everything else takes the fused kernel.
-            scales, rots, transs, counts, sims = jax.lax.cond(
+            scales, rots, transs, counts, sims, extras_b = jax.lax.cond(
                 b_rate_is_one,
                 lambda: jax.vmap(eval_hypothesis, in_axes=(0, None))(hkeys, st.warm),
                 lambda: eval_batch_pallas(hkeys, st.warm),
             )
         else:
-            scales, rots, transs, counts, sims = jax.vmap(
+            scales, rots, transs, counts, sims, extras_b = jax.vmap(
                 eval_hypothesis, in_axes=(0, None)
             )(hkeys, st.warm)
 
@@ -536,11 +613,15 @@ def _local_stage(
         # Baseline: when warm, the serial loop re-baselines the running best
         # to last_best's own sampled count each iteration
         # (registration.cc:1289-1315); that equals scoring warm directly.
+        # The reference skips this re-baseline at the escalated clique round
+        # (`!first_time && b_sampled_rate < 1.0`, registration.cc:1289), so
+        # there the round's hypothesis starts from a zero baseline and takes
+        # the host best on ties — keep that tie-rule.
         warm_count, _ = score_transform(
             ori_src, ori_dst, sampled_pt_mask, st.warm.scale, st.warm.rotation,
             st.warm.translation, thr,
         )
-        baseline = jnp.where(first_time, jnp.int32(-1), warm_count)
+        baseline = jnp.where(first_time | b_rate_is_one, jnp.int32(-1), warm_count)
 
         run_best = jax.lax.cummax(jnp.maximum(counts, baseline))
         local_r_t = st.local_r + t_idx + 1
@@ -585,8 +666,14 @@ def _local_stage(
         new_best_trans = jnp.where(is_sim_cut, transs[sim_t], new_best_trans)
 
         consumed = cut + 1
+        # The serial loop clears sampled_first_time after every hypothesis
+        # (registration.cc:1270-1276), so the host_r+1 bump applies only when
+        # the round's literal first hypothesis is the similar one; a sim at
+        # position k>0 contributes k+1 like any consumed prefix.
         sampled_first = st.hypotheses == 0
-        sim_bump = jnp.where(sampled_first & is_sim_cut, host_r + 1, consumed)
+        sim_bump = jnp.where(
+            sampled_first & is_sim_cut & (sim_t == 0), host_r + 1, consumed
+        )
         new_local_r = st.local_r + jnp.where(is_sim_cut, sim_bump, consumed)
 
         pro_after = jnp.where(is_sim_cut | stop_any, 1.0, pro_t[batch - 1])
@@ -602,6 +689,14 @@ def _local_stage(
             translation=new_best_trans,
             first_time=jnp.zeros((), bool),
         )
+        # Stage masks follow the same winner selection: the early-accepted
+        # similar hypothesis, else the batch winner when it displaces warm.
+        sel_idx = jnp.where(is_sim_cut, sim_t, best_h)
+        keep_new = is_sim_cut | take_batch
+        extras_win = jax.tree.map(lambda x: x[sel_idx], extras_b)
+        new_extras = jax.tree.map(
+            lambda new, old: jnp.where(keep_new, new, old), extras_win, st.extras
+        )
         return LocalState(
             key=key,
             warm=new_warm,
@@ -613,6 +708,7 @@ def _local_stage(
             hypotheses=st.hypotheses + consumed,
             escalate=escalate,
             done=done,
+            extras=new_extras,
         )
 
     init = LocalState(
@@ -626,6 +722,7 @@ def _local_stage(
         hypotheses=jnp.int32(0),
         escalate=jnp.zeros((), bool),
         done=jnp.zeros((), bool),
+        extras=HypExtras.zeros(bcap, c),
     )
     # Hard ceiling on batches: the serial loop ends by confidence
     # (pro_local > 0.99) or stagnation (local_r >= local_max_iter with
@@ -690,7 +787,8 @@ def _host_stage(
     """Host scoring of the local round's winner on the ORIGINAL set plus the
     probabilistic self-update bookkeeping (registration.cc:1399-1488).
 
-    Returns (new HostState, new_corr mask (C,) bool).
+    Returns (new HostState, new_corr mask (C,) bool, take () bool — whether
+    this round's sampled best displaced the host best).
     """
     c = ori_src.shape[1]
     dtype = ori_src.dtype
@@ -774,7 +872,7 @@ def _host_stage(
         host_r=host_r,
         pro_host=pro_host,
     )
-    return new_hs, new_corr
+    return new_hs, new_corr, take
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -915,6 +1013,7 @@ def psulvsb_solve(
     rate_idx = 0
     longholi = False
     best_sampled = warm
+    best_extras: HypExtras | None = None
     rounds = 0
     total_hypotheses = 0  # "basic count" — iteration stats the WT variant
     total_local_batches = 0  # writes to static.txt (registration_WT.cc)
@@ -938,10 +1037,14 @@ def psulvsb_solve(
         total_hypotheses += int(local.hypotheses)
         total_local_batches += int(local.iterations)
 
-        hs, new_corr = _host_stage(
+        hs, new_corr, host_take = _host_stage(
             ori_src, ori_dst, hs, best_sampled, local.local_r, b_one, thr, params,
             k_host,
         )
+        if bool(host_take):
+            # The host best came from this round — its winning hypothesis's
+            # stage masks back the inlier getters (registration.h:600-746).
+            best_extras = local.extras
         warm = WarmState(
             scale=hs.best.scale,
             rotation=hs.best.rotation,
@@ -999,6 +1102,22 @@ def psulvsb_solve(
         "refined": refined,
         "inlier_counter": hs.inlier_counter,
         "final_inliers": hs.final_inliers,
+        # Stage masks of the hypothesis behind the host best — the
+        # getScaleInliersMask/getRotationInliersMask/getTranslationInliersMask
+        # surface (registration.h:600-746). TIM-level masks are indexed by
+        # the basic set's endpoint maps (basic_tims_i/j into ori columns).
+        "scale_inliers": None if best_extras is None else best_extras.scale_inliers,
+        "rotation_inliers": (
+            None if best_extras is None else best_extras.rotation_inliers
+        ),
+        "translation_inliers": (
+            None if best_extras is None else best_extras.translation_inliers
+        ),
+        "translation_points": (
+            None if best_extras is None else best_extras.translation_points
+        ),
+        "basic_tims_i": None if best_extras is None else best_extras.b_i,
+        "basic_tims_j": None if best_extras is None else best_extras.b_j,
         "elapsed_s": time.monotonic() - t_start,
         # Iteration statistics (the WT variant's static.txt counters:
         # host rounds / local iterations / basic iterations).

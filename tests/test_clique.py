@@ -114,3 +114,45 @@ class TestNativeExact:
         got = exact_max_clique(adj, time_limit_s=1e-9)
         # Even on instant timeout the greedy lower bound is returned.
         assert len(got) >= 3
+
+    def test_exact_clique_callback_in_solver(self, monkeypatch):
+        """PMC_EXACT + exact_clique_callback=True routes the escalated
+        b_rate == 1.0 round through the native exact solver via
+        jax.pure_callback (ADVICE r1: EXACT was silently greedy). An
+        all-outlier fixture stagnates every round, walking the rate ladder
+        to 1.0 within the 5-round cap."""
+        import jax
+        from psulvsb_tpu.clique import pmc
+        from psulvsb_tpu.solver.config import SolverParams
+        from psulvsb_tpu.solver.psulvsb import psulvsb_solve
+
+        calls = []
+        real = pmc.exact_max_clique
+
+        def spy(adj, time_limit_s=3600.0, n_threads=12):
+            calls.append(np.asarray(adj).shape)
+            return real(adj, time_limit_s, n_threads)
+
+        monkeypatch.setattr(pmc, "exact_max_clique", spy)
+
+        rng = np.random.default_rng(0)
+        s = rng.normal(size=(3, 64)).astype(np.float32)
+        src = jnp.asarray(s)
+        # Permuted same cloud: TIM lengths stay plausible (non-empty reduced
+        # set under the known-scale beta test) while the geometry is
+        # inconsistent. A near-zero scoring threshold (noise_bound_dataset)
+        # keeps counts at 0 so pro never reaches confidence and every round
+        # stagnates -> the rate ladder reaches b_rate == 1.0.
+        dst = jnp.asarray(s[:, rng.permutation(64)])
+        params = SolverParams.preset_artificial(
+            sampled_cap=256, basic_cap=128, hypothesis_batch=4,
+            exact_clique_callback=True, time_budget_s=10_000.0,
+            # Disable the early-accept similarity cut so every round walks
+            # the stagnation -> escalation path deterministically.
+            rotation_similar=0.0, noise_bound_dataset=1e-4,
+        )
+        sol, info = psulvsb_solve(
+            src, dst, jnp.ones((64,), jnp.int32), params, jax.random.PRNGKey(0)
+        )
+        assert len(calls) > 0, "exact-clique host callback never invoked"
+        assert all(shape == (64, 64) for shape in calls)

@@ -77,6 +77,31 @@ class TestLinalg:
         r = np.asarray(svd_rot(jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)))
         assert np.linalg.det(r) == pytest.approx(1.0, abs=1e-4)
 
+    @pytest.mark.parametrize("method", ["eigh", "power"])
+    def test_svd_rot_180_degree_probe_orthogonal(self, method):
+        """180-degree rotations whose quaternion has near-zero component sum
+        used to collapse the 'power' path's fixed all-ones probe (ADVICE r1);
+        the largest-norm-column probe must recover them exactly."""
+        # q = (0, 1, -1, 0)/sqrt(2): w = 0 and sum(q) = 0 — the adversarial
+        # direction for the old probe. R = 180 deg about axis (1,-1,0)/sqrt2.
+        q = np.array([0.0, 1.0, -1.0, 0.0]) / np.sqrt(2.0)
+        w, x_, y_, z_ = q
+        r_true = np.array(
+            [
+                [1 - 2 * (y_**2 + z_**2), 2 * (x_ * y_ - w * z_), 2 * (x_ * z_ + w * y_)],
+                [2 * (x_ * y_ + w * z_), 1 - 2 * (x_**2 + z_**2), 2 * (y_ * z_ - w * x_)],
+                [2 * (x_ * z_ - w * y_), 2 * (y_ * z_ + w * x_), 1 - 2 * (x_**2 + y_**2)],
+            ]
+        )
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(3, 60))
+        y = r_true @ x
+        r = np.asarray(
+            svd_rot(jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+                    method=method)
+        )
+        np.testing.assert_allclose(r, r_true, atol=5e-4)
+
     def test_svd_rot_weighted_ignores_outliers(self, rng):
         r_true = random_rotation(rng)
         x = rng.normal(size=(3, 40))
