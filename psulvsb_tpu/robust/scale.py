@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from psulvsb_tpu.robust.scalar_tls import scale_consensus_1pt
+from psulvsb_tpu.robust.scalar_tls import scale_consensus_1pt, tls_vote
 
 
 def tim_norms(tims: jax.Array, active: jax.Array | None = None) -> jax.Array:
@@ -35,12 +35,17 @@ def solve_scale_tls(
     warm_scale: jax.Array | None = None,
     use_warm: jax.Array | bool = False,
     max_draws: int = 256,
+    estimator: str = "ransac1pt",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Unknown-scale estimate from TIM norm ratios (registration.cc:397-415).
 
     raw_scales = |dst_tim| / |src_tim|; alphas = beta / |src_tim| with
-    beta = 2 * noise_bound * sqrt(cbar2). Estimation runs the RANSAC-mode
-    scalar consensus (the PSULVSB modification).
+    beta = 2 * noise_bound * sqrt(cbar2).
+
+    estimator: "ransac1pt" — the PSULVSB fork's RANSAC-mode scalar consensus
+    (registration.cc:67-119); "vote" — upstream TEASER's deterministic
+    adaptive voting (estimate_tiled, registration.cc:206-320), the estimator
+    behind the MATLAB benchmark references.
 
     Returns (scale, inlier mask over TIM columns, scale_noise = beta).
     """
@@ -53,15 +58,18 @@ def solve_scale_tls(
     beta = 2.0 * jnp.asarray(noise_bound, v1.dtype) * jnp.sqrt(jnp.asarray(cbar2, v1.dtype))
     alphas = beta / safe_v1
     valid = active & (v1 > 0)
-    scale, inliers = scale_consensus_1pt(
-        raw_scales,
-        alphas,
-        key,
-        active=valid,
-        warm_value=warm_scale,
-        use_warm=use_warm,
-        max_draws=max_draws,
-    )
+    if estimator == "vote":
+        scale, inliers = tls_vote(raw_scales, alphas, active=valid)
+    else:
+        scale, inliers = scale_consensus_1pt(
+            raw_scales,
+            alphas,
+            key,
+            active=valid,
+            warm_value=warm_scale,
+            use_warm=use_warm,
+            max_draws=max_draws,
+        )
     return scale, inliers, beta
 
 

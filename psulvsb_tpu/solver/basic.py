@@ -122,6 +122,7 @@ def basic_step(
             warm_scale=warm.scale,
             use_warm=~warm.first_time,
             max_draws=params.scale_max_draws,
+            estimator=params.scale_estimator,
         )
         rot_tim_mask = scale_inliers
     else:

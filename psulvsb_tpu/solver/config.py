@@ -143,6 +143,11 @@ class SolverParams:
     hypothesis_batch: int = 16
     # Draws for the 1-point RANSAC scale consensus.
     scale_max_draws: int = 256
+    # Scale estimator: "ransac1pt" (the fork's RANSAC-mode ScalarTLSEstimator,
+    # registration.cc:67-119) or "vote" (upstream's deterministic adaptive
+    # voting estimate_tiled, registration.cc:206-320 — O(L^2) grid, use for
+    # upstream/MATLAB parity or small TIM sets).
+    scale_estimator: str = "ransac1pt"
     # Rotation-from-correlation method inside the GNC loop: "power"
     # (shifted power iteration, pure matmuls — fastest under vmapped
     # while_loops) or "eigh" (exact 4x4 eigendecomposition).
