@@ -197,6 +197,9 @@ def _evaluate_edge(
 
 
 @functools.partial(jax.jit, static_argnames=("resolution", "k_optimal", "min_edge_support"))
+@functools.partial(
+    jax.jit, static_argnames=("resolution", "k_optimal", "min_edge_support")
+)
 def _gror_core(
     src: jax.Array,
     dst: jax.Array,

@@ -103,6 +103,17 @@ class SolverParams:
     hist_max_scale: float = 10000.0
     hist_bins_per_unit: int = 20
 
+    # --- GROR initial alignment (registration_artificial.cc:571-576) -------
+    # When on, GROR (gror/gror.py, ia_gror.hpp:368 equivalent) runs once
+    # before the PSULVSB loop and its (R, t) seeds the warm state — the
+    # artificial-data variant's initial-alignment stage. The local loop then
+    # baselines hypotheses against the GROR solution (a hypothesis must beat
+    # its sampled inlier count to displace it) and the early-accept
+    # similarity test can fire against it from the first batch.
+    gror_init: bool = False
+    gror_resolution: float = 0.1  # cloud resolution; thresholds are 2x this
+    gror_k_optimal: int = 800  # registration_artificial.cc:536
+
     # --- algorithm-variant switches ----------------------------------------
     # The reference ships the PSULVSB family as separate source files
     # (SURVEY.md §0): registration_best.cc == the canonical algorithm (both
@@ -194,6 +205,15 @@ class SolverParams:
                 "estimate_scaling": False,
                 **kw,
             }
+        )
+
+    @staticmethod
+    def preset_artificial_gror(**kw) -> "SolverParams":
+        """Artificial-data variant with GROR initial alignment
+        (registration_artificial.cc:571-576: GROR seeds the solver on the
+        synthetic protocol; resolution = the protocol noise bound)."""
+        return SolverParams.preset_artificial(
+            **{"gror_init": True, "gror_resolution": 0.05, **kw}
         )
 
     @staticmethod

@@ -137,10 +137,32 @@ def psulvsb_register(
         carry = jax.lax.cond(carry.done, lambda c_: c_, run, carry)
         return carry, None
 
+    warm0 = WarmState.initial(dtype)
+    if params.gror_init:
+        # GROR initial alignment seeding the warm state (same semantics as
+        # psulvsb_solve; registration_artificial.cc:571-576), traced into
+        # the single dispatch. Falls back to the cold start when GROR finds
+        # fewer than 3 inliers.
+        from psulvsb_tpu.gror.gror import _gror_core
+
+        g = _gror_core(
+            ori_src.astype(jnp.float32), ori_dst.astype(jnp.float32),
+            keep_mask > -2, params.gror_resolution, params.gror_k_optimal,
+        )
+        gror_ok = jnp.sum(g.inliers) >= 3
+        warm0 = WarmState(
+            scale=jnp.ones((), dtype),
+            rotation=jnp.where(gror_ok, g.rotation.astype(dtype), warm0.rotation),
+            translation=jnp.where(
+                gror_ok, g.translation.astype(dtype), warm0.translation
+            ),
+            first_time=~gror_ok,
+        )
+
     init = _RoundCarry(
         key=key,
         hs=HostState.initial(c, keep_mask, dtype),
-        warm=WarmState.initial(dtype),
+        warm=warm0,
         best_sampled=WarmState.initial(dtype),
         red_i=red_i0,
         red_j=red_j0,

@@ -1010,6 +1010,28 @@ def psulvsb_solve(
 
     hs = HostState.initial(c, keep_mask, dtype)
     warm = WarmState.initial(dtype)
+    gror_used = False
+    if params.gror_init:
+        # GROR initial alignment (registration_artificial.cc:571-576): seed
+        # the warm state from GROR's (R, t) so the local loop baselines
+        # against it and GNC warm-starts from its rotation. Runs on all real
+        # correspondences (padding keep_mask == -2 excluded) — GROR is an
+        # independent front stage, not subject to the pre-filter's discards.
+        from psulvsb_tpu.gror.gror import gror_align
+
+        g = gror_align(
+            ori_src, ori_dst, params.gror_resolution, params.gror_k_optimal,
+            corr_active=keep_mask > -2,
+        )
+        gror_ok = bool(jnp.sum(g.inliers) >= 3)
+        if gror_ok:
+            warm = WarmState(
+                scale=jnp.ones((), dtype),
+                rotation=g.rotation.astype(dtype),
+                translation=g.translation.astype(dtype),
+                first_time=jnp.zeros((), bool),
+            )
+            gror_used = True
     rate_idx = 0
     longholi = False
     best_sampled = warm
@@ -1118,6 +1140,7 @@ def psulvsb_solve(
         ),
         "basic_tims_i": None if best_extras is None else best_extras.b_i,
         "basic_tims_j": None if best_extras is None else best_extras.b_j,
+        "gror_init": gror_used,
         "elapsed_s": time.monotonic() - t_start,
         # Iteration statistics (the WT variant's static.txt counters:
         # host rounds / local iterations / basic iterations).

@@ -69,3 +69,90 @@ class TestGror:
         res = gror.align()
         re = float(angular_error_deg(pair.transform.rotation, res.rotation))
         assert re < 5.0
+
+
+class TestGrorInit:
+    """GROR wired into the PSULVSB loop as the initial-alignment stage
+    (registration_artificial.cc:571-576: GROR's transform seeds the solver;
+    here it seeds the warm state, config.gror_init)."""
+
+    BASE = dict(
+        sampled_cap=256,
+        basic_cap=128,
+        hypothesis_batch=4,
+        scale_max_draws=64,
+        local_max_iter=5,
+        max_host_rounds=2,
+    )
+
+    def test_rescues_hostile_pair(self):
+        """97% realistic (mismatch) outliers under a tight hypothesis budget:
+        the cold start misses the basin, the GROR-seeded solve lands it."""
+        from psulvsb_tpu.solver.config import SolverParams
+        from psulvsb_tpu.solver.psulvsb import psulvsb_solve
+
+        src = jnp.asarray(synthetic_cloud(400, seed=3))
+        pair = make_synthetic_pair(
+            jax.random.PRNGKey(7), src, noise_bound=0.01, outlier_rate=0.97,
+            outlier_mode="mismatch",
+        )
+        keep = jnp.ones((400,), jnp.int32)
+        p_cold = SolverParams.preset_artificial(**self.BASE)
+        p_gror = SolverParams.preset_artificial_gror(
+            gror_resolution=0.05, gror_k_optimal=200, **self.BASE
+        )
+        sol_c, info_c = psulvsb_solve(pair.src, pair.dst, keep, p_cold,
+                                      jax.random.PRNGKey(2))
+        sol_g, info_g = psulvsb_solve(pair.src, pair.dst, keep, p_gror,
+                                      jax.random.PRNGKey(2))
+        re_c = float(angular_error_deg(pair.transform.rotation, sol_c.rotation))
+        re_g = float(angular_error_deg(pair.transform.rotation, sol_g.rotation))
+        assert info_g["gror_init"] and not info_c["gror_init"]
+        assert re_c > 5.0, f"fixture no longer hostile to cold start: {re_c}"
+        assert re_g < 5.0, re_g
+        te_g = float(
+            jnp.linalg.norm(sol_g.translation - pair.transform.translation)
+        )
+        assert te_g < 0.3, te_g
+
+    def test_fewer_hypotheses_same_accuracy(self):
+        """On the published displace protocol the warm baseline lets the
+        local loop terminate earlier without losing the solution."""
+        from psulvsb_tpu.solver.config import SolverParams
+        from psulvsb_tpu.solver.psulvsb import psulvsb_solve
+
+        src = jnp.asarray(synthetic_cloud(300, seed=3))
+        pair = make_synthetic_pair(
+            jax.random.PRNGKey(5), src, noise_bound=0.01, outlier_rate=0.97
+        )
+        keep = jnp.ones((300,), jnp.int32)
+        p_cold = SolverParams.preset_artificial(**self.BASE)
+        p_gror = SolverParams.preset_artificial_gror(
+            gror_resolution=0.05, gror_k_optimal=200, **self.BASE
+        )
+        sol_c, info_c = psulvsb_solve(pair.src, pair.dst, keep, p_cold,
+                                      jax.random.PRNGKey(2))
+        sol_g, info_g = psulvsb_solve(pair.src, pair.dst, keep, p_gror,
+                                      jax.random.PRNGKey(2))
+        re_g = float(angular_error_deg(pair.transform.rotation, sol_g.rotation))
+        assert re_g < 5.0, re_g
+        assert info_g["total_hypotheses"] < info_c["total_hypotheses"]
+
+    def test_fused_gror_init(self):
+        """gror_init traces into the single-dispatch fused solve."""
+        from psulvsb_tpu.solver.config import SolverParams
+        from psulvsb_tpu.solver.fused import psulvsb_register
+
+        src = jnp.asarray(synthetic_cloud(400, seed=3))
+        pair = make_synthetic_pair(
+            jax.random.PRNGKey(7), src, noise_bound=0.01, outlier_rate=0.97,
+            outlier_mode="mismatch",
+        )
+        keep = jnp.ones((400,), jnp.int32)
+        p = SolverParams.preset_artificial_gror(
+            gror_resolution=0.05, gror_k_optimal=200, **self.BASE
+        )
+        sol = psulvsb_register(pair.src, pair.dst, keep, jax.random.PRNGKey(2), p)
+        re = float(angular_error_deg(pair.transform.rotation, sol.rotation))
+        assert bool(sol.valid)
+        assert re < 5.0, re
