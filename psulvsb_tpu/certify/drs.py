@@ -420,12 +420,34 @@ class DRSCertifier:
         self.gamma_tau = float(gamma_tau)
         self.sub_optimality = float(sub_optimality)
 
+    @staticmethod
+    def _has_cpu() -> bool:
+        try:
+            return len(jax.devices("cpu")) > 0
+        except RuntimeError:
+            return False
+
     def certify(self, r_solution, src, dst, theta, polish: bool = False) -> CertificationResult:
         """Certification needs ~1e-8 eigenvalue resolution (the gap divides
         -lambda_min by mu ~ noise^2), beyond f32; run in f64 like the
         reference's Eigen path. This is a verification step, not the solve
-        hot path — latency is non-critical."""
-        with jax.enable_x64(True):
+        hot path — latency is non-critical.
+
+        Backend: TPUs have no f64 ALUs, so regardless of the session's
+        default backend the certifier is pinned to the host CPU device
+        (jax.default_device below) — calling certify() in a TPU session is
+        supported and runs host-side, like the reference's Eigen path runs
+        on the CPU next to any GPU solver."""
+        import contextlib
+
+        cpu_devices = jax.devices("cpu") if self._has_cpu() else []
+
+        dev_ctx = (
+            jax.default_device(cpu_devices[0])
+            if cpu_devices
+            else contextlib.nullcontext()
+        )
+        with dev_ctx, jax.enable_x64(True):
             r64 = jnp.asarray(np.asarray(r_solution), jnp.float64)
             if polish:
                 # Opt-in: certify the f64-polished local optimum instead of

@@ -188,3 +188,20 @@ class TestCertify:
         cert = DRSCertifier(noise_bound=0.01, cbar2=1.0)
         res = cert.certify(r.astype(np.float32), src, dst, theta)
         assert bool(res.is_optimal), f"gap={float(res.best_suboptimality)}"
+
+    def test_runs_on_host_cpu_regardless_of_backend(self, rng):
+        """TPUs have no f64 ALUs; certify() pins its f64 program to the host
+        CPU device so it is callable from a TPU-backend session (documented
+        behavior — the reference's Eigen certifier likewise runs host-side,
+        certification.cc's double pipeline). Here: result buffers must live
+        on a CPU device and x64 must not leak into the ambient config."""
+        r = random_rotation(rng)
+        src = rng.normal(size=(3, 8)).astype(np.float32)
+        dst = (r @ src).astype(np.float32)
+        cert = DRSCertifier(noise_bound=0.01, cbar2=1.0, max_iterations=20)
+        res = cert.certify(r.astype(np.float32), src, dst, np.ones(8, np.float32))
+        (dev,) = res.best_suboptimality.devices()
+        assert dev.platform == "cpu"
+        assert res.best_suboptimality.dtype == jnp.float64
+        # Ambient default must be untouched after the enable_x64 scope.
+        assert jnp.zeros(()).dtype == jnp.float32
