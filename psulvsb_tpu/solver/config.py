@@ -152,6 +152,17 @@ class SolverParams:
     # reference evaluates 1 per basic iteration; local_r advances by the
     # number of hypotheses consumed.
     hypothesis_batch: int = 16
+    # Hard ceiling on local batches per host round, as a multiple of
+    # local_max_iter (see _local_stage): the serial reference's local loop
+    # has no such ceiling — it runs until confidence/stagnation/early-accept
+    # — but between those bounds pro_local is monotone in local_r, so
+    # ceiling_factor * local_max_iter hypotheses cover all but
+    # mid-confidence plateaus (sampled inlier rate ~0.02-0.05, where
+    # confidence needs local_r in the hundreds). On a plateau the round
+    # proceeds to host scoring exactly as a confidence exit would; raise the
+    # factor for serial-faithful termination (tests/test_registration.py
+    # has the adversarial plateau fixture showing outcome equivalence).
+    local_batch_ceiling_factor: int = 4
     # Draws for the 1-point RANSAC scale consensus.
     scale_max_draws: int = 256
     # Scale estimator: "ransac1pt" (the fork's RANSAC-mode ScalarTLSEstimator,

@@ -727,10 +727,14 @@ def _local_stage(
     # Hard ceiling on batches: the serial loop ends by confidence
     # (pro_local > 0.99) or stagnation (local_r >= local_max_iter with
     # pro_local <= 0.2). Between those bounds pro_local is monotone in
-    # local_r, so ~4x local_max_iter hypotheses cover all but pathological
+    # local_r, so ceiling_factor x local_max_iter hypotheses cover all but
     # mid-confidence plateaus; beyond the ceiling the round proceeds to host
-    # scoring exactly as a confidence exit would.
-    max_batches = max(2, -(-4 * params.local_max_iter // params.hypothesis_batch) + 1)
+    # scoring exactly as a confidence exit would (adversarial fixture:
+    # tests/test_registration.py::TestPlateauCeiling).
+    factor = params.local_batch_ceiling_factor
+    max_batches = max(
+        2, -(-factor * params.local_max_iter // params.hypothesis_batch) + 1
+    )
     final = jax.lax.while_loop(
         lambda st: (~st.done) & (st.iterations < max_batches), batch_body, init
     )

@@ -206,3 +206,66 @@ class TestPallasGncSolver:
             re = float(angular_error_deg(pair.transform.rotation, sol.rotation))
             te = float(jnp.linalg.norm(sol.translation - pair.transform.translation))
             assert re < 5.0 and te < 0.3, f"{impl}: RE={re} TE={te}"
+
+
+class TestPlateauCeiling:
+    """Adversarial fixture for the local-loop batch ceiling
+    (psulvsb.py::_local_stage max_batches): a mid-confidence plateau —
+    sampled inlier rate low enough that confidence needs local_r beyond the
+    ceiling, high enough that stagnation (pro <= 0.2 at local_max_iter)
+    never fires, with per-hypothesis solutions wobbling past the 0.01-rad
+    early-accept gate. The serial reference would keep iterating to the
+    confidence exit; the ceiling truncates. This fixture proves the
+    truncation reaches the same winner the serial schedule does."""
+
+    def _run(self, factor):
+        from psulvsb_tpu.solver.psulvsb import _init_stage, _sample_stage, _local_stage
+        from psulvsb_tpu.solver.basic import WarmState
+
+        n = 300
+        src = jnp.asarray(synthetic_cloud(n, seed=0))
+        pair = make_synthetic_pair(
+            jax.random.PRNGKey(1), src, noise_bound=0.05, outlier_rate=0.96
+        )
+        keep = jnp.ones((n,), jnp.int32)
+        p = SolverParams.preset_artificial(
+            sampled_cap=1024, basic_cap=32, hypothesis_batch=4,
+            scale_max_draws=64, local_batch_ceiling_factor=factor,
+        )
+        red = _init_stage(pair.src, pair.dst, keep, p, jax.random.PRNGKey(11))
+        thr = jnp.asarray(p.pr_noise * 2.0, jnp.float32)
+        s = _sample_stage(red[0], red[1], red[2], red[3],
+                          jnp.asarray(1.0, jnp.float32), p, jax.random.PRNGKey(12), n)
+        fin = _local_stage(
+            pair.src, pair.dst, s[0], s[1], s[2], s[3], s[4],
+            jnp.asarray(0.1, jnp.float32), jnp.asarray(False), jnp.int32(0),
+            WarmState.initial(jnp.float32), thr, p, jax.random.PRNGKey(13),
+        )
+        max_batches = max(2, -(-factor * p.local_max_iter // p.hypothesis_batch) + 1)
+        return fin, max_batches
+
+    def test_ceiling_truncates_plateau_to_serial_outcome(self):
+        fin4, mb4 = self._run(4)
+        # The plateau: ceiling binds (loop not done), confidence unreached,
+        # stagnation band (<= 0.2) long exited — the exact case the ceiling
+        # heuristic claims is harmless.
+        assert not bool(fin4.done)
+        assert int(fin4.iterations) == mb4
+        assert 0.2 < float(fin4.pro_local) < 0.99
+        assert not bool(fin4.escalate)
+
+        fin30, _ = self._run(30)
+        # Serial-faithful run terminates by confidence, strictly later...
+        assert bool(fin30.done)
+        assert float(fin30.pro_local) > 0.99
+        assert int(fin30.hypotheses) > int(fin4.hypotheses)
+        # ...with the identical winner: same inlier count, same transform.
+        assert int(fin30.best_count) == int(fin4.best_count)
+        np.testing.assert_allclose(
+            np.asarray(fin30.best.rotation), np.asarray(fin4.best.rotation),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fin30.best.translation), np.asarray(fin4.best.translation),
+            atol=1e-6,
+        )
