@@ -5,10 +5,28 @@ anchor: 0.949 s solve, TEASER-plusplus/README.md:121-123; see BASELINE.md).
 Runs the fused single-dispatch PSULVSB solver on the real TPU chip, checks
 the solution is actually correct (RE < 5 deg, TE < 0.3 — the 3DMatch recall
 criteria), and prints ONE JSON line:
-  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup, ...}
+
+Extra fields:
+  - batch8_pairs_per_s: one-chip batched throughput (lax.map of fused solves)
+  - solve_5000corr_s / rot_err_5000_deg: the BASELINE.md north-star size
+  - realdata_{3dmatch,kitti}_recall/avg_time_s: the real-data harness
+    (eval/realdata.py, success criteria of teaser_cpp_ply_main.cc:424,714)
+    run end-to-end on generated reference-format scenes (eval/make_dataset.py:
+    1500-corr pairs, mismatch outliers 60-95%, hostile rotations)
+  - stage_s_1889 / stage_s_5000: per-stage wall-clock attribution of the
+    staged solver (init / sample / local / host / self_update / finalize),
+    profiled with per-stage device syncs
+  - flops_1889 / mxu_util_pct_1889: XLA cost-analysis FLOPs of the fused
+    program and measured FLOP/s as a % of the chip's bf16 peak — a roofline
+    position, not an achievement claim: the workload is top-k/sort/gather
+    heavy, so low MXU share is expected and the latency numbers are the
+    real story.
 """
 
 import json
+import os
+import shutil
 import sys
 import time
 
@@ -23,12 +41,15 @@ import jax.numpy as jnp
 
 from psulvsb_tpu.solver.config import SolverParams
 from psulvsb_tpu.solver.fused import psulvsb_register
+from psulvsb_tpu.solver.psulvsb import psulvsb_solve
 from psulvsb_tpu.eval.synthetic import synthetic_cloud, make_synthetic_pair
 from psulvsb_tpu.core.metrics import angular_error_deg
 
 BASELINE_S = 0.949  # reference bunny demo solve time (BASELINE.md)
 N_CORRS = 1889
 OUTLIER_RATE = 0.9
+# TPU v5e (v5 lite) peak: ~197 TFLOP/s bf16 / ~98.5 TFLOP/s fp32 MXU.
+PEAK_FLOPS_BF16 = 197e12
 
 
 def measure_batched_throughput(params, n_pairs: int = 8) -> float:
@@ -60,6 +81,59 @@ def measure_batched_throughput(params, n_pairs: int = 8) -> float:
         _ = float(jnp.sum(sols.scale))
         best = min(best, time.perf_counter() - t0)
     return n_pairs / best
+
+
+def stage_breakdown(pair, keep, params, n_corr: int) -> dict:
+    """Per-stage attribution via the staged solver with profile syncs.
+    First call warms per-stage compiles; the second is the measurement."""
+    psulvsb_solve(pair.src, pair.dst, keep, params, jax.random.PRNGKey(3),
+                  profile=True)
+    _, info = psulvsb_solve(pair.src, pair.dst, keep, params,
+                            jax.random.PRNGKey(4), profile=True)
+    return {k: round(v, 4) for k, v in info["stage_s"].items()}
+
+
+def fused_cost_analysis(pair, keep, params):
+    """XLA-estimated FLOPs of the fused program (None if unavailable)."""
+    try:
+        compiled = (
+            jax.jit(psulvsb_register, static_argnames=("params",))
+            .lower(pair.src, pair.dst, keep, jax.random.PRNGKey(0), params)
+            .compile()
+        )
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def realdata_recall(dataset: str, n_pairs: int, n_corr: int, ddtime: int) -> dict:
+    """Generate a reference-format scene and run the real-data harness on
+    it end-to-end (evaluate_pair best-of-ddtime, success criteria, recall)."""
+    from psulvsb_tpu.eval.make_dataset import write_scene
+    from psulvsb_tpu.eval.realdata import run_scene, SuccessCriteria
+
+    root = f"/tmp/psulvsb_bench_{dataset}"
+    shutil.rmtree(root, ignore_errors=True)
+    if dataset == "kitti":
+        write_scene(root, n_pairs=n_pairs, n_corr=n_corr, seed=1,
+                    noise_bound=0.1, scene_scale=20.0, max_translation=10.0)
+        params = SolverParams.preset_kitti(
+            sampled_cap=2048, basic_cap=1024, hypothesis_batch=16
+        )
+        criteria = SuccessCriteria.kitti()
+    else:
+        write_scene(root, n_pairs=n_pairs, n_corr=n_corr, seed=0)
+        params = SolverParams.preset_3dmatch(
+            sampled_cap=2048, basic_cap=1024, hypothesis_batch=16
+        )
+        criteria = SuccessCriteria.threedmatch()
+    return run_scene(
+        root, os.path.join(root, "pairs.txt"), params, criteria,
+        os.path.join(root, "out.csv"), ddtime=ddtime, resume=False,
+    )
 
 
 def main():
@@ -117,6 +191,21 @@ def main():
         t5.append(time.perf_counter() - t0)
     re5 = float(angular_error_deg(pair5.transform.rotation, s5.rotation))
 
+    # Per-stage attribution (VERDICT r1 #5) at both sizes.
+    stage_1889 = stage_breakdown(pair, keep, params, N_CORRS)
+    stage_5000 = stage_breakdown(pair5, keep5, params, 5000)
+
+    # Roofline position of the fused program.
+    flops = fused_cost_analysis(pair, keep, params)
+    mxu_util = (
+        round(100.0 * flops / best / PEAK_FLOPS_BF16, 3) if flops else None
+    )
+
+    # Real-data harness recall (VERDICT r1 #4) — the reference's benchmark
+    # protocol end-to-end on generated reference-format scenes.
+    rd3 = realdata_recall("3dmatch", n_pairs=6, n_corr=1500, ddtime=3)
+    rdk = realdata_recall("kitti", n_pairs=4, n_corr=1500, ddtime=3)
+
     print(
         json.dumps(
             {
@@ -131,6 +220,17 @@ def main():
                 "correct": ok,
                 "rot_err_deg": round(re, 4),
                 "trans_err": round(te, 4),
+                "realdata_3dmatch_recall": round(rd3["recall"], 4),
+                "realdata_3dmatch_avg_time_s": round(rd3["avg_time_s"], 4),
+                "realdata_3dmatch_avg_rot_err_deg": round(
+                    rd3["avg_angle_error_deg"], 4
+                ),
+                "realdata_kitti_recall": round(rdk["recall"], 4),
+                "realdata_kitti_avg_time_s": round(rdk["avg_time_s"], 4),
+                "stage_s_1889": stage_1889,
+                "stage_s_5000": stage_5000,
+                "fused_flops_1889": flops,
+                "mxu_util_pct_1889": mxu_util,
                 "device": str(jax.devices()[0]),
             }
         )

@@ -4,4 +4,7 @@ from psulvsb_tpu.pairs.tims import (
     gather_tims,
     scale_ratio_histogram,
     peak_bin_mask,
+    ratio_bin_indices,
+    sort_peak_bin,
+    masked_random_compact,
 )

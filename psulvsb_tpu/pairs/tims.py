@@ -92,6 +92,70 @@ def scale_ratio_histogram(
     return counts, idx
 
 
+def ratio_bin_indices(
+    ratios: jax.Array,
+    max_scale: float = 10000.0,
+    bins_per_unit: int = 20,
+    num_bins: int | None = None,
+) -> tuple[jax.Array, int]:
+    """Bin index per ratio under the reference's histogram geometry
+    (registration.cc:687-729) without building the histogram. Returns
+    (idx (L,) int32, num_bins)."""
+    if num_bins is None:
+        num_bins = int(max_scale) * bins_per_unit
+    idx = jnp.floor(ratios / max_scale * num_bins).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, num_bins - 1)
+    idx = jnp.where(jnp.isfinite(ratios), idx, 0)
+    return idx, num_bins
+
+
+def sort_peak_bin(
+    bin_idx: jax.Array, active: jax.Array, num_bins: int
+) -> tuple[jax.Array, jax.Array]:
+    """Histogram argmax without a histogram: sort the bin indices and find
+    the longest run. TPU scatters serialize (~27 ms/1.8M elements on v5e for
+    spread bins) while lax.sort is ~3.5 ms — and the peak search only needs
+    the max-count bin, never the full counts vector.
+
+    Returns (peak bin, peak count). Inactive entries sort to a sentinel
+    past num_bins and are excluded.
+    """
+    n = bin_idx.shape[0]
+    s = jnp.sort(jnp.where(active, bin_idx, num_bins))
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), s[1:] != s[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(is_start, pos, 0))
+    run_len = jnp.where(s < num_bins, pos - run_start + 1, 0)
+    best = jnp.argmax(run_len)
+    return s[best], run_len[best]
+
+
+def masked_random_compact(
+    key: jax.Array,
+    mask: jax.Array,
+    idx_i: jax.Array,
+    idx_j: jax.Array,
+    cap: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Compact a uniformly-random subset of the masked pairs into (cap,)
+    arrays via one multi-operand sort (scatter-free; the random sort keys
+    double as the uniform decimation when the mask count exceeds cap).
+
+    Returns (red_i (cap,), red_j (cap,), count = min(#mask, cap)).
+    """
+    # Single payload operand: pack (i, j) into one i32 (i * 2^16 + j stays
+    # positive for i < 32768 — far above any padded correspondence count);
+    # a 2-operand sort is measurably cheaper than 3-operand on TPU.
+    r = jax.random.randint(key, mask.shape, 0, jnp.int32(1 << 30))
+    keys = jnp.where(mask, r, jnp.int32(1 << 30))  # non-members sort last
+    packed = idx_i.astype(jnp.int32) * 65536 + idx_j.astype(jnp.int32)
+    _, sp = jax.lax.sort((keys, packed), num_keys=1)
+    total = jnp.sum(mask, dtype=jnp.int32)
+    return sp[:cap] // 65536, sp[:cap] % 65536, jnp.minimum(total, cap)
+
+
 def peak_bin_mask(
     counts: jax.Array, bin_idx: jax.Array, pair_active: jax.Array
 ) -> tuple[jax.Array, jax.Array]:

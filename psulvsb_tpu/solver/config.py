@@ -124,15 +124,26 @@ class SolverParams:
     enable_self_update: bool = True
     enable_refinement: bool = True
 
-    # Reduced-set construction: "exact" sweeps the full O(C^2) TIM universe
-    # (the reference's behavior); "sampled" estimates the histogram peak
-    # from a pair subsample and rejection-samples the reduced set directly
-    # (uniform over the reduced set; 5-10x faster init at large C);
-    # "auto" picks sampled when the universe exceeds init_sampled_threshold.
+    # Reduced-set construction:
+    # - "exact": sweep the full O(C^2) TIM universe (the reference's
+    #   behavior); peak + compaction are scatter-free (sort-based).
+    # - "exact_hist": exact histogram peak via the tiled Pallas pair-grid
+    #   kernel (ops/pallas_hist.py — O(C) HBM, no O(C^2) materialization),
+    #   reduced pool rejection-sampled against it; falls back to the
+    #   subsample estimate when the out-of-window certificate fails.
+    #   estimate_scaling only (known scale has no histogram).
+    # - "sampled": estimate the peak from a pair subsample and
+    #   rejection-sample the reduced set (uniform over the reduced set).
+    # - "auto": "exact" when the universe fits init_sampled_threshold, else
+    #   "exact_hist" (estimate_scaling) / "sampled" (known scale).
     init_mode: str = "auto"
     init_sampled_threshold: int = 4_000_000
     init_peak_sample: int = 1 << 20  # pairs used to locate the peak bin
     init_reject_budget: int = 1 << 21  # pair draws for reduced-set filling
+    # Windowed-bin count for the exact_hist Pallas kernel: the window covers
+    # ratios [0, exact_hist_bins / hist_bins_per_unit); the last bin absorbs
+    # the tail and drives the exactness certificate.
+    exact_hist_bins: int = 512
 
     # --- TPU capacity knobs (static shapes replacing dynamic resizes) ------
     # Upper bound on the compacted reduced line-vector set. The O(C^2) TIM

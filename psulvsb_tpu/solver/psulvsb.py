@@ -55,8 +55,9 @@ from psulvsb_tpu.utils.precision import mm
 from psulvsb_tpu.core.metrics import angular_error_rad, masked_rmse, inlier_probability
 from psulvsb_tpu.pairs.tims import (
     triu_pair_indices,
-    scale_ratio_histogram,
-    peak_bin_mask,
+    ratio_bin_indices,
+    sort_peak_bin,
+    masked_random_compact,
 )
 from psulvsb_tpu.robust.scale import select_scale_inliers, solve_scale_tls
 from psulvsb_tpu.robust.translation import solve_translation
@@ -126,37 +127,49 @@ def _init_stage_sampled(
     (duplicate TIMs possible at ~0.1% rates) and red_count is an estimate.
     """
     c = ori_src.shape[1]
-    r_cap = params.reduced_cap
     n_l = c * (c - 1) // 2
     active = keep_mask == 1
     k1, k2 = jax.random.split(key)
 
-    def draw_pairs(k, n):
-        ka, kb = jax.random.split(k)
-        a = jax.random.randint(ka, (n,), 0, c)
-        b = jax.random.randint(kb, (n,), 0, c - 1)
-        b = jnp.where(b >= a, b + 1, b)  # b != a, uniform over pairs
-        return jnp.minimum(a, b), jnp.maximum(a, b)
-
     peak_bin = jnp.int32(0)
     if params.estimate_scaling:
         s1 = params.init_peak_sample
-        pi, pj = draw_pairs(k1, s1)
+        ka, kb = jax.random.split(k1)
+        a = jax.random.randint(ka, (s1,), 0, c)
+        b = jax.random.randint(kb, (s1,), 0, c - 1)
+        b = jnp.where(b >= a, b + 1, b)  # b != a, uniform over pairs
+        pi, pj = jnp.minimum(a, b), jnp.maximum(a, b)
         ok = active[pi] & active[pj]
         st = ori_src[:, pj] - ori_src[:, pi]
         dt = ori_dst[:, pj] - ori_dst[:, pi]
         v1 = jnp.sqrt(jnp.sum(st * st, axis=0))
         v2 = jnp.sqrt(jnp.sum(dt * dt, axis=0))
-        counts, bin_idx = scale_ratio_histogram(
+        bin_idx, num_bins = ratio_bin_indices(
             v2 / jnp.where(v1 > 0, v1, 1.0),
-            ok,
             max_scale=params.hist_max_scale,
             bins_per_unit=params.hist_bins_per_unit,
         )
-        peak_bin = jnp.argmax(counts).astype(jnp.int32)
+        peak_bin, _ = sort_peak_bin(bin_idx, ok, num_bins)
+    return _fill_reduced_pool(
+        ori_src, ori_dst, active, peak_bin, n_l, params, k2
+    )
 
+
+def _fill_reduced_pool(
+    ori_src, ori_dst, active, peak_bin, n_l, params: SolverParams, key
+):
+    """Rejection-fill of the reduced pool against a known peak bin: draw
+    init_reject_budget random pairs, keep window-test passers (uniform over
+    the reduced set), compact scatter-free."""
+    c = ori_src.shape[1]
+    r_cap = params.reduced_cap
     budget = params.init_reject_budget
-    pi, pj = draw_pairs(k2, budget)
+    k_draw, k_compact = jax.random.split(key)
+    ka, kb = jax.random.split(k_draw)
+    a = jax.random.randint(ka, (budget,), 0, c)
+    b = jax.random.randint(kb, (budget,), 0, c - 1)
+    b = jnp.where(b >= a, b + 1, b)
+    pi, pj = jnp.minimum(a, b), jnp.maximum(a, b)
     member = (
         active[pi] & active[pj] & _pair_window_test(
             ori_src, ori_dst, pi, pj, params, peak_bin
@@ -166,16 +179,86 @@ def _init_stage_sampled(
     red_count_est = jnp.minimum(
         (accept.astype(jnp.float32) / budget * n_l).astype(jnp.int32), r_cap
     )
-
-    pos = jnp.cumsum(member.astype(jnp.int32)) - 1
-    write = jnp.where(member & (pos < r_cap), pos, r_cap)
-    red_i = jnp.zeros((r_cap + 1,), jnp.int32).at[write].set(pi, mode="drop")
-    red_j = jnp.zeros((r_cap + 1,), jnp.int32).at[write].set(pj, mode="drop")
     # The pool holds min(accept, r_cap) actual members; red_count (the
     # |reduced| size estimate) may exceed the pool — sampling clamps to the
     # pool size.
-    pool = jnp.minimum(accept, r_cap)
-    return red_i[:r_cap], red_j[:r_cap], red_count_est, pool
+    red_i, red_j, pool = masked_random_compact(k_compact, member, pi, pj, r_cap)
+    return red_i, red_j, red_count_est, pool
+
+
+def _init_stage_exact_hist(
+    ori_src: jax.Array,
+    ori_dst: jax.Array,
+    keep_mask: jax.Array,
+    params: SolverParams,
+    key: jax.Array,
+):
+    """Large-C scale-estimation init with the EXACT histogram peak: the
+    tiled Pallas pair-grid kernel (ops/pallas_hist.py) sweeps all C(C-1)/2
+    ratios with O(C) HBM traffic and no scatter, yielding the exact peak
+    bin and the exact reduced-set size |peak +- 1| — where the "sampled"
+    mode only estimates both from a pair subsample.
+
+    The kernel windows bins to [0, num_bins/bins_per_unit) (clamp bin
+    absorbs the tail). When the clamp bin dominates the interior peak the
+    exactness certificate fails — possible only when out-of-window ratio
+    mass beats the inlier spike, e.g. the displace-outlier synthetic
+    protocol's heavy tails — and the stage falls back to the subsample
+    estimate (lax.cond picks at runtime; the reduced-pool fill is shared).
+    """
+    from psulvsb_tpu.ops.pallas_hist import pair_ratio_histogram
+
+    c = ori_src.shape[1]
+    n_l = c * (c - 1) // 2
+    active = keep_mask == 1
+    k1, k2 = jax.random.split(key)
+
+    nb = params.exact_hist_bins
+    counts = pair_ratio_histogram(
+        ori_src, ori_dst, active,
+        bins_per_unit=params.hist_bins_per_unit, num_bins=nb,
+    )
+    interior = counts[: nb - 1]
+    peak_k = jnp.argmax(interior).astype(jnp.int32)
+    # Certificate: the clamp bin bounds every fine bin beyond the window;
+    # peak at the window edge would leak its +-1 membership into the clamp.
+    certified = (counts[nb - 1] < interior[peak_k]) & (peak_k < nb - 2)
+
+    def exact_branch():
+        red_count = jnp.sum(
+            jax.lax.dynamic_slice(
+                counts, (jnp.maximum(peak_k - 1, 0),), (3,)
+            )
+        )
+        return peak_k, red_count
+
+    def estimate_branch():
+        s1 = params.init_peak_sample
+        ka, kb = jax.random.split(k1)
+        a = jax.random.randint(ka, (s1,), 0, c)
+        b = jax.random.randint(kb, (s1,), 0, c - 1)
+        b = jnp.where(b >= a, b + 1, b)
+        ok = active[a] & active[b]
+        st = ori_src[:, b] - ori_src[:, a]
+        dt = ori_dst[:, b] - ori_dst[:, a]
+        v1 = jnp.sqrt(jnp.sum(st * st, axis=0))
+        v2 = jnp.sqrt(jnp.sum(dt * dt, axis=0))
+        bin_idx, num_bins = ratio_bin_indices(
+            v2 / jnp.where(v1 > 0, v1, 1.0),
+            max_scale=params.hist_max_scale,
+            bins_per_unit=params.hist_bins_per_unit,
+        )
+        pk, _cnt = sort_peak_bin(bin_idx, ok, num_bins)
+        return pk, jnp.int32(-1)  # count estimated by the fill below
+
+    peak_bin, red_exact = jax.lax.cond(certified, exact_branch, estimate_branch)
+    red_i, red_j, red_est, pool = _fill_reduced_pool(
+        ori_src, ori_dst, active, peak_bin, n_l, params, k2
+    )
+    red_count = jnp.where(
+        red_exact >= 0, jnp.minimum(red_exact, params.reduced_cap), red_est
+    )
+    return red_i, red_j, red_count, pool
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -204,9 +287,18 @@ def _init_stage(
     n_l = c * (c - 1) // 2
     mode = params.init_mode
     if mode == "auto":
-        mode = "sampled" if n_l > params.init_sampled_threshold else "exact"
+        if n_l <= params.init_sampled_threshold:
+            mode = "exact"
+        elif params.estimate_scaling:
+            mode = "exact_hist"  # exact Pallas peak, sampled pool
+        else:
+            mode = "sampled"  # known-scale window test is already exact
+    if mode == "exact_hist" and not params.estimate_scaling:
+        mode = "sampled"  # no histogram in the known-scale branch
     if mode == "sampled":
         return _init_stage_sampled(ori_src, ori_dst, keep_mask, params, key)
+    if mode == "exact_hist":
+        return _init_stage_exact_hist(ori_src, ori_dst, keep_mask, params, key)
     r_cap = params.reduced_cap
     ii_np, jj_np = triu_pair_indices(c)
     idx_i, idx_j = jnp.asarray(ii_np), jnp.asarray(jj_np)
@@ -221,13 +313,15 @@ def _init_stage(
         v1 = jnp.sqrt(jnp.sum(src_tims * src_tims, axis=0))
         v2 = jnp.sqrt(jnp.sum(dst_tims * dst_tims, axis=0))
         ratios = v2 / jnp.where(v1 > 0, v1, 1.0)
-        counts, bin_idx = scale_ratio_histogram(
+        # Scatter-free peak: sort the bin indices and take the longest run
+        # (TPU scatters serialize; see pairs/tims.py::sort_peak_bin).
+        bin_idx, num_bins = ratio_bin_indices(
             ratios,
-            pair_active,
             max_scale=params.hist_max_scale,
             bins_per_unit=params.hist_bins_per_unit,
         )
-        reduced_mask, _ = peak_bin_mask(counts, bin_idx, pair_active)
+        peak, _cnt = sort_peak_bin(bin_idx, pair_active, num_bins)
+        reduced_mask = (jnp.abs(bin_idx - peak) <= 1) & pair_active
         # Outer scale estimate comes later per basic iteration; the outer
         # solveForScale is skipped in the estimate_scaling branch
         # (registration.cc:744-752): reduction is purely histogram-based.
@@ -239,20 +333,13 @@ def _init_stage(
         )
         reduced_mask = inliers
 
-    # --- compaction ----------------------------------------------------------
-    total = jnp.sum(reduced_mask, dtype=jnp.int32)
-    # Uniform decimation when overflowing the cap (cumsum-compaction alone
-    # would keep the lexicographically-first pairs — biased toward low i).
-    p_keep = jnp.minimum(1.0, r_cap / jnp.maximum(total.astype(jnp.float32), 1.0))
-    thin = jax.random.uniform(key, reduced_mask.shape) <= p_keep
-    mask = reduced_mask & jnp.where(total > r_cap, thin, True)
-
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    write = jnp.where(mask & (pos < r_cap), pos, r_cap)  # overflow -> spill slot
-    red_i = jnp.zeros((r_cap + 1,), jnp.int32).at[write].set(idx_i, mode="drop")
-    red_j = jnp.zeros((r_cap + 1,), jnp.int32).at[write].set(idx_j, mode="drop")
-    red_count = jnp.minimum(jnp.sum(mask, dtype=jnp.int32), r_cap)
-    return red_i[:r_cap], red_j[:r_cap], red_count, red_count
+    # Scatter-free compaction; the random sort keys double as the uniform
+    # decimation when the reduced set overflows the cap (plain cumsum
+    # compaction would keep lexicographically-first pairs — biased low-i).
+    red_i, red_j, red_count = masked_random_compact(
+        key, reduced_mask, idx_i, idx_j, r_cap
+    )
+    return red_i, red_j, red_count, red_count
 
 
 # =============================================================================
@@ -977,12 +1064,20 @@ def _finalize_stage(
 # =============================================================================
 
 
+def _sync(tree) -> None:
+    """Force device completion with a scalar readback — on the remote-TPU
+    tunnel jax.block_until_ready alone does not reliably wait."""
+    leaf = jax.tree.leaves(tree)[0]
+    _ = np.asarray(leaf.ravel()[0] if leaf.ndim else leaf)
+
+
 def psulvsb_solve(
     ori_src,
     ori_dst,
     keep_mask,
     params: SolverParams,
     key: jax.Array,
+    profile: bool = False,
 ) -> tuple[RegistrationSolution, dict]:
     """Full PSULVSB solve.
 
@@ -1002,9 +1097,24 @@ def psulvsb_solve(
     c = ori_src.shape[1]
     dtype = ori_src.dtype
 
+    # profile=True: per-stage wall clock with a device sync after every
+    # stage dispatch (info["stage_s"]). The syncs serialize host and device,
+    # so profiled elapsed_s exceeds an unprofiled run — use for attribution,
+    # not for headline latency.
+    stage_s: dict[str, float] = {}
+
+    def timed(name, fn, *args):
+        if not profile:
+            return fn(*args)
+        t0 = time.monotonic()
+        out = fn(*args)
+        _sync(out)
+        stage_s[name] = stage_s.get(name, 0.0) + (time.monotonic() - t0)
+        return out
+
     key, k_init = jax.random.split(key)
-    red_i, red_j, red_count, red_pool = _init_stage(
-        ori_src, ori_dst, keep_mask, params, k_init
+    red_i, red_j, red_count, red_pool = timed(
+        "init", _init_stage, ori_src, ori_dst, keep_mask, params, k_init
     )
 
     n_reduced_pts = int(jnp.sum(keep_mask == 1))
@@ -1023,9 +1133,12 @@ def psulvsb_solve(
         # independent front stage, not subject to the pre-filter's discards.
         from psulvsb_tpu.gror.gror import gror_align
 
-        g = gror_align(
-            ori_src, ori_dst, params.gror_resolution, params.gror_k_optimal,
-            corr_active=keep_mask > -2,
+        g = timed(
+            "gror",
+            lambda: gror_align(
+                ori_src, ori_dst, params.gror_resolution, params.gror_k_optimal,
+                corr_active=keep_mask > -2,
+            ),
         )
         gror_ok = bool(jnp.sum(g.inliers) >= 3)
         if gror_ok:
@@ -1050,12 +1163,14 @@ def psulvsb_solve(
         b_one = jnp.asarray(b_rate >= 1.0)
 
         key, k_samp, k_local, k_host = jax.random.split(key, 4)
-        s_i, s_j, s_ok, s_count, s_pts = _sample_stage(
+        s_i, s_j, s_ok, s_count, s_pts = timed(
+            "sample", _sample_stage,
             red_i, red_j, red_count, red_pool, jnp.asarray(l_rate, dtype),
             params, k_samp, c,
         )
 
-        local = _local_stage(
+        local = timed(
+            "local", _local_stage,
             ori_src, ori_dst, s_i, s_j, s_ok, s_count, s_pts,
             jnp.asarray(b_rate, dtype), b_one, hs.host_r, warm, thr, params, k_local,
         )
@@ -1063,7 +1178,8 @@ def psulvsb_solve(
         total_hypotheses += int(local.hypotheses)
         total_local_batches += int(local.iterations)
 
-        hs, new_corr, host_take = _host_stage(
+        hs, new_corr, host_take = timed(
+            "host", _host_stage,
             ori_src, ori_dst, hs, best_sampled, local.local_r, b_one, thr, params,
             k_host,
         )
@@ -1096,14 +1212,15 @@ def psulvsb_solve(
 
         # Self-update: fold newly admitted points into the reduced TIM set.
         if int(jnp.sum(new_corr)) > 0:
-            red_i, red_j, red_count, red_pool = _self_update_pairs(
-                red_i, red_j, red_count, red_pool, new_corr, hs.inl_kept, params
+            red_i, red_j, red_count, red_pool = timed(
+                "self_update", _self_update_pairs,
+                red_i, red_j, red_count, red_pool, new_corr, hs.inl_kept, params,
             )
 
     # Final refinement (registration.cc:1499-1528).
     if params.enable_refinement and int(hs.best_count) != 0:
-        rotation, translation, refined = _finalize_stage(
-            ori_src, ori_dst, hs, best_sampled
+        rotation, translation, refined = timed(
+            "finalize", _finalize_stage, ori_src, ori_dst, hs, best_sampled
         )
     else:
         rotation, translation = hs.best.rotation, hs.best.translation
@@ -1145,6 +1262,7 @@ def psulvsb_solve(
         "basic_tims_i": None if best_extras is None else best_extras.b_i,
         "basic_tims_j": None if best_extras is None else best_extras.b_j,
         "gror_init": gror_used,
+        "stage_s": stage_s if profile else None,
         "elapsed_s": time.monotonic() - t_start,
         # Iteration statistics (the WT variant's static.txt counters:
         # host rounds / local iterations / basic iterations).
