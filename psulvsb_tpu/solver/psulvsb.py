@@ -668,9 +668,15 @@ def _local_stage(
 
     # The whole-GNC kernel engages for GNC_TLS at basic caps the Mosaic
     # toolchain handles (the remote compile helper crashes above N = 1024;
-    # probed empirically — larger caps fall back to the XLA path).
+    # probed empirically — larger caps fall back to the XLA path). "auto"
+    # resolves to pallas only on the TPU backend: the kernel wins 8-19% in
+    # device time there (see config.gnc_impl), while interpret-mode pallas
+    # on CPU is far slower than the XLA while_loop.
+    gnc_impl = params.gnc_impl
+    if gnc_impl == "auto":
+        gnc_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     use_pallas_gnc = (
-        params.gnc_impl == "pallas"
+        gnc_impl == "pallas"
         and params.rotation_estimation_algorithm
         == RotationEstimationAlgorithm.GNC_TLS
         and bcap <= 1024
