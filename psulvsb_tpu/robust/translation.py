@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from psulvsb_tpu.robust.scalar_tls import max_stabbing
+from psulvsb_tpu.utils.precision import mm
 
 
 def solve_translation(
@@ -44,6 +45,60 @@ def solve_translation(
     est, inl = jax.vmap(solve_axis)(raw, warm_translation)
     inliers = jnp.all(inl, axis=0) & active
     return est, inliers, beta
+
+
+def solve_translation_endpoints(
+    src: jax.Array,
+    dst: jax.Array,
+    rotation: jax.Array,
+    scale: jax.Array,
+    b_i: jax.Array,
+    b_j: jax.Array,
+    tim_mask: jax.Array,
+    noise_bound: jax.Array | float,
+    cbar2: jax.Array | float,
+    warm_translation: jax.Array | None = None,
+    use_warm: jax.Array | bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Translation solve restricted to the (deduplicated) endpoints of the
+    active basic TIMs — identical estimate to masking the full (3, C)
+    arrays, at sort/cumsum sizes of 2L instead of C.
+
+    The stabbing sweep is O(n log n) in the array size regardless of the
+    active mask, and the point set fed to translation is by construction
+    the TIM endpoints (registration.cc:1114-1154's `dub[]` dedup), at most
+    2L points for L basic TIMs. At C=5000, L=1024 this cuts the local
+    round's translation stage from 12.7 ms to the 4-5 ms range on v5e.
+    Only the <= 2L candidate points are rotated (3 x 3 @ 3 x 2L instead of
+    3 x C per hypothesis).
+
+    Returns (translation_scaled (3,), point inliers (C,), points fed (C,),
+    translation_noise). The caller divides by scale as usual
+    (registration.cc:1248-1250).
+    """
+    c = src.shape[1]
+    idx = jnp.concatenate([b_i, b_j])  # (2L,)
+    okm = jnp.concatenate([tim_mask, tim_mask])
+    # Dedup: sort by index (inactive slots to sentinel c), keep first of
+    # each run — the compact active set equals endpoint_mask's point set.
+    si = jnp.sort(jnp.where(okm, idx, c))
+    first = (
+        jnp.concatenate([jnp.ones((1,), bool), si[1:] != si[:-1]]) & (si < c)
+    )
+    gi = jnp.where(si < c, si, 0)
+    moved = scale * mm(rotation, src[:, gi])
+    t_s, inl, beta = solve_translation(
+        moved,
+        dst[:, gi],
+        noise_bound,
+        cbar2,
+        active=first,
+        warm_translation=warm_translation,
+        use_warm=use_warm,
+    )
+    points_c = jnp.zeros((c,), bool).at[gi].max(first)
+    inliers_c = jnp.zeros((c,), bool).at[gi].max(inl & first)
+    return t_s, inliers_c, points_c, beta
 
 
 class TLSTranslationSolver:

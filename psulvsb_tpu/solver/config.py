@@ -125,8 +125,12 @@ class SolverParams:
     enable_refinement: bool = True
 
     # Reduced-set construction:
-    # - "exact": sweep the full O(C^2) TIM universe (the reference's
-    #   behavior); peak + compaction are scatter-free (sort-based).
+    # - "dense": exact membership over the (C, C) pair grid via MXU
+    #   distance matrices + hashed-priority approx_max_k compaction — the
+    #   fastest exact form up to dense_init_max_c (3.9 ms at C=5000 on
+    #   v5e vs 60.8 ms rejection fill / ~35 ms gather sweep).
+    # - "exact": gather-based sweep of the full O(C^2) TIM universe (the
+    #   reference-literal form); peak + compaction are sort-based.
     # - "exact_hist": exact histogram peak via the tiled Pallas pair-grid
     #   kernel (ops/pallas_hist.py — O(C) HBM, no O(C^2) materialization),
     #   reduced pool rejection-sampled against it; falls back to the
@@ -134,10 +138,13 @@ class SolverParams:
     #   estimate_scaling only (known scale has no histogram).
     # - "sampled": estimate the peak from a pair subsample and
     #   rejection-sample the reduced set (uniform over the reduced set).
-    # - "auto": "exact" when the universe fits init_sampled_threshold, else
-    #   "exact_hist" (estimate_scaling) / "sampled" (known scale).
+    # - "auto": "dense" up to dense_init_max_c, else "exact_hist"
+    #   (estimate_scaling) / "sampled" (known scale).
     init_mode: str = "auto"
-    init_sampled_threshold: int = 4_000_000
+    # Largest C the dense init materializes (C, C) f32 matrices for
+    # (~1.1 GB HBM at 8192; beyond that auto switches to O(C) modes).
+    dense_init_max_c: int = 8192
+    init_sampled_threshold: int = 4_000_000  # (explicit "exact" guidance)
     init_peak_sample: int = 1 << 20  # pairs used to locate the peak bin
     init_reject_budget: int = 1 << 21  # pair draws for reduced-set filling
     # Windowed-bin count for the exact_hist Pallas kernel: the window covers

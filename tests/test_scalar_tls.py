@@ -114,3 +114,71 @@ def test_jit_and_grad_safety():
     assert jnp.isfinite(est)
     est2, _ = jax.jit(max_stabbing)(x, 0.3)
     assert jnp.isfinite(est2)
+
+
+class TestTranslationEndpoints:
+    def test_matches_masked_full_solve(self, key):
+        """solve_translation_endpoints must produce the identical estimate
+        and point-inlier set as the full-(3,C) masked solve — it is the same
+        stabbing problem at compact size (registration.cc:1114-1154 dedup +
+        :1248-1250 solve)."""
+        from psulvsb_tpu.robust.translation import (
+            solve_translation,
+            solve_translation_endpoints,
+        )
+        from psulvsb_tpu.solver.basic import endpoint_mask
+        from psulvsb_tpu.utils.precision import mm
+
+        c, L = 200, 64
+        ks = jax.random.split(key, 6)
+        src = jax.random.normal(ks[0], (3, c))
+        rot = jnp.eye(3)
+        t_true = jnp.array([0.3, -0.2, 0.5])
+        dst = src + t_true[:, None]
+        # 40% corrupted points
+        bad = jax.random.uniform(ks[1], (c,)) < 0.4
+        dst = jnp.where(bad[None, :], dst + jax.random.normal(ks[2], (3, c)), dst)
+        b_i = jax.random.randint(ks[3], (L,), 0, c)
+        b_j = jax.random.randint(ks[4], (L,), 0, c - 1)
+        b_j = jnp.where(b_j >= b_i, b_j + 1, b_j)
+        tim_mask = jax.random.uniform(ks[5], (L,)) < 0.7
+        scale = jnp.float32(1.0)
+        warm = jnp.zeros((3,))
+        use_warm = jnp.asarray(False)
+
+        pts = endpoint_mask(b_i, b_j, tim_mask, c)
+        moved = scale * mm(rot, src)
+        t_ref, inl_ref, _ = solve_translation(
+            moved, dst, 0.05, 1.0, active=pts,
+            warm_translation=warm, use_warm=use_warm,
+        )
+        t_cmp, inl_c, pts_c, _ = solve_translation_endpoints(
+            src, dst, rot, scale, b_i, b_j, tim_mask, 0.05, 1.0,
+            warm_translation=warm, use_warm=use_warm,
+        )
+        np.testing.assert_allclose(np.asarray(t_cmp), np.asarray(t_ref), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(pts_c), np.asarray(pts))
+        np.testing.assert_array_equal(
+            np.asarray(inl_c), np.asarray(inl_ref & pts)
+        )
+
+    def test_duplicate_endpoints_vote_once(self):
+        """A point appearing in many TIMs must vote once (the dub[] dedup)."""
+        from psulvsb_tpu.robust.translation import solve_translation_endpoints
+
+        c = 10
+        src = jnp.zeros((3, c)).at[0].set(jnp.arange(c, dtype=jnp.float32))
+        t_true = jnp.array([0.0, 1.0, 0.0])
+        dst = src + t_true[:, None]
+        # Point 3 is corrupted and appears as an endpoint of EVERY TIM; if
+        # duplicates voted, its interval would out-stab the good cluster.
+        dst = dst.at[1, 3].set(50.0)
+        b_i = jnp.full((8,), 3, jnp.int32)
+        b_j = jnp.arange(8, dtype=jnp.int32)
+        b_j = jnp.where(b_j >= 3, b_j + 1, b_j)
+        mask = jnp.ones((8,), bool)
+        t, inl, pts, _ = solve_translation_endpoints(
+            src, dst, jnp.eye(3), jnp.float32(1.0), b_i, b_j, mask, 0.05, 1.0,
+        )
+        assert float(t[1]) == pytest.approx(1.0, abs=1e-5)
+        assert not bool(inl[3])
