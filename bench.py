@@ -85,12 +85,17 @@ def measure_batched_throughput(params, n_pairs: int = 8) -> float:
 
 def stage_breakdown(pair, keep, params, n_corr: int) -> dict:
     """Per-stage attribution via the staged solver with profile syncs.
-    First call warms per-stage compiles; the second is the measurement."""
+    First call warms per-stage compiles; per-stage min over two measured
+    runs drops stray lazily-compiled branches and tunnel hiccups."""
     psulvsb_solve(pair.src, pair.dst, keep, params, jax.random.PRNGKey(3),
                   profile=True)
-    _, info = psulvsb_solve(pair.src, pair.dst, keep, params,
-                            jax.random.PRNGKey(4), profile=True)
-    return {k: round(v, 4) for k, v in info["stage_s"].items()}
+    out: dict = {}
+    for seed in (4, 5):
+        _, info = psulvsb_solve(pair.src, pair.dst, keep, params,
+                                jax.random.PRNGKey(seed), profile=True)
+        for k, v in info["stage_s"].items():
+            out[k] = min(out.get(k, v), v)
+    return {k: round(v, 4) for k, v in out.items()}
 
 
 def fused_cost_analysis(pair, keep, params):
@@ -139,8 +144,13 @@ def realdata_recall(dataset: str, n_pairs: int, n_corr: int, ddtime: int) -> dic
 def main():
     n_repeat = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 
+    # Caps swept on-device (2026-08-17): (4096, 1024, 16) dominates
+    # (4096, 2048, 32) at both 1889 and 5000 corrs (47.6/50.4 ms vs
+    # 69.2/110.3 ms wall, identical accuracy) — basic_cap 1024 engages the
+    # whole-GNC Pallas kernel and avoids padding the ~600-900-TIM basic
+    # sets, and batch 16 ends local rounds sooner than 32 at equal quality.
     params = SolverParams.preset_artificial(
-        sampled_cap=4096, basic_cap=2048, hypothesis_batch=32
+        sampled_cap=4096, basic_cap=1024, hypothesis_batch=16
     )
     src = jnp.asarray(synthetic_cloud(N_CORRS, seed=0))
     pair = make_synthetic_pair(

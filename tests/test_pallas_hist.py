@@ -183,3 +183,55 @@ class TestExactHistInit:
         sol, _ = psulvsb_solve(pair.src, pair.dst, keep, p, jax.random.PRNGKey(2))
         re = float(angular_error_deg(pair.transform.rotation, sol.rotation))
         assert re < 5.0, re
+
+
+class TestDenseInit:
+    """init_mode='dense' (MXU distance matrices + hashed approx_max_k
+    compaction) against the gather-based exact sweep."""
+
+    def _sets(self, src, dst, keep, mode, estimate_scaling, key):
+        from psulvsb_tpu.solver.config import SolverParams
+        from psulvsb_tpu.solver.psulvsb import _init_stage
+
+        p = SolverParams.preset_3dmatch(
+            estimate_scaling=estimate_scaling, init_mode=mode,
+            noise_bound=0.05, noise_bound_dataset=0.05,
+        )
+        ri, rj, rc, pool = _init_stage(src, dst, keep, p, key)
+        n = int(pool)
+        return set(
+            zip(np.asarray(ri)[:n].tolist(), np.asarray(rj)[:n].tolist())
+        ), int(rc)
+
+    @pytest.mark.parametrize("estimate_scaling", [False, True])
+    def test_membership_matches_exact(self, rng, key, estimate_scaling):
+        """On CPU approx_max_k lowers to exact top_k, so under the cap the
+        dense reduced set must equal the exact sweep's (up to razor-edge
+        pairs of the distance decomposition — the fixture keeps the scale
+        mid-bin and the noise well inside the window to avoid them)."""
+        c = 250
+        src = jnp.asarray(rng.normal(size=(3, c)), jnp.float32)
+        scale = 1.53 if estimate_scaling else 1.0
+        dst = scale * src + jnp.asarray(rng.normal(size=(3, c)) * 0.004, jnp.float32)
+        bad = rng.uniform(size=c) < 0.5
+        dst = jnp.where(jnp.asarray(bad)[None, :],
+                        jnp.asarray(rng.normal(size=(3, c)) * 2.0, jnp.float32), dst)
+        keep = jnp.ones((c,), jnp.int32)
+
+        got, rc_d = self._sets(src, dst, keep, "dense", estimate_scaling, key)
+        want, rc_e = self._sets(src, dst, keep, "exact", estimate_scaling, key)
+        # Identical membership; tolerate <=2 boundary pairs flipped by the
+        # ||a||^2+||b||^2-2ab norm form.
+        assert len(got.symmetric_difference(want)) <= 2, (
+            len(got), len(want), len(got.symmetric_difference(want)))
+        assert abs(rc_d - rc_e) <= 2
+
+    def test_inactive_points_excluded(self, rng, key):
+        c = 200
+        src = jnp.asarray(rng.normal(size=(3, c)), jnp.float32)
+        dst = src + jnp.asarray(rng.normal(size=(3, c)) * 0.004, jnp.float32)
+        keep = jnp.asarray((rng.uniform(size=c) < 0.6).astype(np.int32))
+        got, _ = self._sets(src, dst, keep, "dense", False, key)
+        dead = set(np.flatnonzero(np.asarray(keep) != 1).tolist())
+        for i, j in got:
+            assert i not in dead and j not in dead and i < j

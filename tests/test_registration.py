@@ -74,6 +74,33 @@ class TestPsulvsbSolve:
         assert re < 5.0, f"rotation error {re} deg"
         assert te < 0.3, f"translation error {te}"
 
+    @pytest.mark.parametrize("n,rate", [(400, 0.95), (1500, 0.99)])
+    def test_extreme_outlier_stress_decoupled(self, key, n, rate):
+        """BASELINE.md stress suite: 95-99% outliers. At these rates the
+        reference's robustness comes from the upstream decoupled path's
+        max-clique pruning BEFORE rotation (classic TEASER, the 99%-outlier
+        bunny claim) — the PSULVSB loop itself feeds ALL basic TIMs to GNC
+        at known scale (registration.cc:986-991: pruned_src_tims_ =
+        src_tims_) and is published at 90%. Exercise the decoupled path."""
+        from psulvsb_tpu.solver.classic import solve_decoupled
+
+        src = jnp.asarray(synthetic_cloud(n, seed=7))
+        pair = make_synthetic_pair(
+            key, src, noise_bound=0.01, outlier_rate=rate,
+            outlier_mode="mismatch",
+        )
+        params = SolverParams.preset_3dmatch()
+        sol, info = solve_decoupled(
+            pair.src, pair.dst, params, jax.random.PRNGKey(11)
+        )
+        assert bool(sol.valid)
+        re = float(angular_error_deg(pair.transform.rotation, sol.rotation))
+        # Upstream convention: dst = s * R * src + t (no t /= s).
+        te = float(jnp.linalg.norm(
+            sol.translation - pair.transform.translation))
+        assert re < 5.0, f"rotation error {re} deg at {rate}"
+        assert te < 0.3, f"translation error {te} at {rate}"
+
     def test_with_prefilter_mask(self, key):
         """keep_mask semantics: points marked 0 are excluded from the initial
         reduced set but remain scorable/re-admittable; -1 never participate."""
