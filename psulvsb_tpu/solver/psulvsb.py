@@ -479,7 +479,13 @@ def _sample_stage(
     slot_ok = jnp.arange(r_cap) < pool
     g = jax.random.gumbel(key, (r_cap,), dtype=jnp.float32)
     score = jnp.where(slot_ok, g, -jnp.inf)
-    _, top = jax.lax.top_k(score, cap)
+    # Gumbel keys are the randomness — an approx top-k of random keys is
+    # still a uniform random subset, at a fraction of the exact top_k's
+    # cost over the (r_cap,) pool (sorted output keeps -inf slots last).
+    # Recall misses can return fewer than `pool` valid slots when pool is
+    # near cap; clamp count so padding slots never enter the sampled set.
+    vals, top = jax.lax.approx_max_k(score, cap)
+    count = jnp.minimum(count, jnp.sum(vals > -jnp.inf, dtype=jnp.int32))
     rank_ok = jnp.arange(cap) < count
     # Invalid slots point at pair 0 but stay masked everywhere.
     s_i = jnp.where(rank_ok, red_i[top], 0)
@@ -595,8 +601,12 @@ def _local_stage(
         k_pick, k_scale = jax.random.split(hkey)
         g = jax.random.gumbel(k_pick, (cap,), dtype=jnp.float32)
         score = jnp.where(s_ok, g, -jnp.inf)
-        _, top = jax.lax.top_k(score, bcap)
-        sel_ok = jnp.arange(bcap) < basic_choose
+        # Approx top-k of random keys = uniform subset (see _sample_stage);
+        # clamp by the valid-slot count so recall misses never admit
+        # padding TIMs.
+        vals, top = jax.lax.approx_max_k(score, bcap)
+        n_valid = jnp.sum(vals > -jnp.inf, dtype=jnp.int32)
+        sel_ok = jnp.arange(bcap) < jnp.minimum(basic_choose, n_valid)
         b_i = jnp.where(sel_ok, s_i[top], 0)
         b_j = jnp.where(sel_ok, s_j[top], 0)
 
@@ -684,8 +694,9 @@ def _local_stage(
         """Sample one hypothesis' basic TIM set (vmapped)."""
         g = jax.random.gumbel(hkey, (cap,), dtype=jnp.float32)
         score = jnp.where(s_ok, g, -jnp.inf)
-        _, top = jax.lax.top_k(score, bcap)
-        sel_ok = jnp.arange(bcap) < basic_choose
+        vals, top = jax.lax.approx_max_k(score, bcap)
+        n_valid = jnp.sum(vals > -jnp.inf, dtype=jnp.int32)
+        sel_ok = jnp.arange(bcap) < jnp.minimum(basic_choose, n_valid)
         b_i = jnp.where(sel_ok, s_i[top], 0)
         b_j = jnp.where(sel_ok, s_j[top], 0)
         return b_i, b_j, sel_ok
