@@ -129,6 +129,16 @@ def realdata_recall(dataset: str, n_pairs: int, n_corr: int, ddtime: int) -> dic
             sampled_cap=2048, basic_cap=1024, hypothesis_batch=16
         )
         criteria = SuccessCriteria.kitti()
+    elif dataset == "3dlomatch":
+        # Low-overlap regime: 85-98% mismatch outliers (the 3DLoMatch
+        # protocol's hostile end; the reference uses the same solver +
+        # criteria for both 3DMatch splits, teaser_cpp_ply_main.cc:424).
+        write_scene(root, n_pairs=n_pairs, n_corr=n_corr, seed=2,
+                    outlier_rates=(0.85, 0.9, 0.93, 0.95, 0.97, 0.98))
+        params = SolverParams.preset_3dmatch(
+            sampled_cap=2048, basic_cap=1024, hypothesis_batch=16
+        )
+        criteria = SuccessCriteria.threedmatch()
     else:
         write_scene(root, n_pairs=n_pairs, n_corr=n_corr, seed=0)
         params = SolverParams.preset_3dmatch(
@@ -138,6 +148,7 @@ def realdata_recall(dataset: str, n_pairs: int, n_corr: int, ddtime: int) -> dic
     return run_scene(
         root, os.path.join(root, "pairs.txt"), params, criteria,
         os.path.join(root, "out.csv"), ddtime=ddtime, resume=False,
+        decoupled_fallback=(dataset == "3dlomatch"),
     )
 
 
@@ -214,6 +225,7 @@ def main():
     # Real-data harness recall (VERDICT r1 #4) — the reference's benchmark
     # protocol end-to-end on generated reference-format scenes.
     rd3 = realdata_recall("3dmatch", n_pairs=6, n_corr=1500, ddtime=3)
+    rdl = realdata_recall("3dlomatch", n_pairs=6, n_corr=1500, ddtime=3)
     rdk = realdata_recall("kitti", n_pairs=4, n_corr=1500, ddtime=3)
 
     print(
@@ -235,6 +247,8 @@ def main():
                 "realdata_3dmatch_avg_rot_err_deg": round(
                     rd3["avg_angle_error_deg"], 4
                 ),
+                "realdata_3dlomatch_recall": round(rdl["recall"], 4),
+                "realdata_3dlomatch_avg_time_s": round(rdl["avg_time_s"], 4),
                 "realdata_kitti_recall": round(rdk["recall"], 4),
                 "realdata_kitti_avg_time_s": round(rdk["avg_time_s"], 4),
                 "stage_s_1889": stage_1889,

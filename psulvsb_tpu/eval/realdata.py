@@ -22,6 +22,7 @@ device mesh (parallel/pairs.py) when their padded sizes match.
 from __future__ import annotations
 
 import os
+import time
 from typing import NamedTuple
 
 import jax
@@ -134,20 +135,30 @@ def evaluate_pair(
     ddtime: int = 10,
     test_scale: float = 1.0,
     use_prefilter: bool = True,
+    decoupled_fallback: bool = False,
 ) -> PairResult:
     """Best-of-ddtime evaluation of one pair (main.cc:330-422): repeat the
     full pipeline, keep the lowest-RMSE run, apply the success criteria.
 
     The pre-filter is deterministic, so when it mis-discards inliers every
     ddtime retry fails the same way (true of the reference too); the last
-    retry runs without it as a fallback when use_prefilter is on."""
+    retry runs without it as a fallback when use_prefilter is on.
+
+    decoupled_fallback adds ONE extra retry through the classic decoupled
+    path (solver/classic.py: scale -> max-clique -> rotation -> translation)
+    kept under the same lowest-RMSE rule. The clique stage prunes before
+    rotation, which carries the >= 97%-outlier low-overlap pairs where the
+    PSULVSB loop (which, like the reference at known scale, feeds all basic
+    TIMs to GNC — registration.cc:986-991) plateaus. Off by default: the
+    reference's harness has no such retry."""
     src_j = jnp.asarray(src, jnp.float32)
     dst_j = jnp.asarray(dst * test_scale, jnp.float32)
     gt_r = jnp.asarray(gt[:3, :3], jnp.float32)
     gt_t = jnp.asarray(gt[:3, 3], jnp.float32)
     gt_pts = mm(gt_r, src_j) + gt_t[:, None]
 
-    warm_key = (pad_bucket(src_j.shape[1]), params, use_prefilter)
+    warm_key = (pad_bucket(src_j.shape[1]), params, use_prefilter,
+                decoupled_fallback)
     if warm_key not in _WARMED:
         # Untimed warm-up dispatch: compiles the bucket's programs (prefilter
         # + solver share shapes across retries, and the prefilter-off solver
@@ -157,6 +168,12 @@ def evaluate_pair(
             src_j, dst_j, params, jax.random.fold_in(key, 0x7FFFFFFF),
             use_prefilter=use_prefilter,
         )
+        if decoupled_fallback:
+            from psulvsb_tpu.solver.classic import solve_decoupled
+
+            solve_decoupled(
+                src_j, dst_j, params, jax.random.fold_in(key, 0x7FFFFFFE)
+            )
         _WARMED.add(warm_key)
 
     best: PairResult | None = None
@@ -184,6 +201,34 @@ def evaluate_pair(
         )
         if best is None or r.rmse < best.rmse:
             best = r
+    if decoupled_fallback:
+        from psulvsb_tpu.solver.classic import solve_decoupled
+
+        t0 = time.monotonic()
+        dsol, _ = solve_decoupled(
+            src_j, dst_j, params, jax.random.fold_in(key, 0x5EED)
+        )
+        elapsed = time.monotonic() - t0
+        # Upstream convention: dst = s * R * src + t (classic.py docstring).
+        est_pts = (
+            float(dsol.scale) * mm(dsol.rotation, src_j)
+            + dsol.translation[:, None]
+        )
+        rmse = float(
+            jnp.sqrt(jnp.mean(jnp.sum((gt_pts - est_pts / test_scale) ** 2, axis=0)))
+        )
+        r = PairResult(
+            scale_error=abs(float(dsol.scale) - test_scale),
+            angle_error_deg=float(angular_error_deg(gt_r, dsol.rotation)),
+            trans_error=float(
+                jnp.linalg.norm(dsol.translation / test_scale - gt_t)
+            ),
+            rmse=rmse,
+            time_s=elapsed,
+            success=False,
+        )
+        if r.rmse < best.rmse:
+            best = r
     ok = (
         best.scale_error <= criteria.max_scale_err
         and best.angle_error_deg <= criteria.max_angle_err_deg
@@ -204,6 +249,7 @@ def run_scene(
     unknown_scale: bool = False,
     seed: int = 0,
     resume: bool = True,
+    decoupled_fallback: bool = False,
 ) -> dict:
     """Evaluate one scene directory; returns aggregate stats incl. recall.
 
@@ -241,7 +287,10 @@ def run_scene(
                 test_scale = 1.0 + 4.0 * float(
                     jax.random.uniform(jax.random.fold_in(key, 7))
                 )
-            r = evaluate_pair(src, dst, gt, params, criteria, key, ddtime, test_scale)
+            r = evaluate_pair(
+                src, dst, gt, params, criteria, key, ddtime, test_scale,
+                decoupled_fallback=decoupled_fallback,
+            )
             os.makedirs(os.path.dirname(progress_path) or ".", exist_ok=True)
             with open(progress_path, "a") as f:
                 f.write(json.dumps({"pair": tag, **r._asdict()}) + "\n")

@@ -180,3 +180,30 @@ class TestPrefilterFallback:
             ddtime=2,
         )
         assert r.success, r
+
+
+class TestDecoupledFallback:
+    def test_rescues_hostile_pair(self, key):
+        """evaluate_pair(decoupled_fallback=True): the classic clique path
+        must rescue a >= 97%-outlier pair where the PSULVSB retries plateau
+        (the clique prunes before rotation; registration.cc:986-991 feeds
+        GNC everything at known scale)."""
+        n = 600
+        src_c = jnp.asarray(synthetic_cloud(n, seed=9))
+        pair = make_synthetic_pair(
+            key, src_c, noise_bound=0.01, outlier_rate=0.97,
+            outlier_mode="mismatch",
+        )
+        gt = np.eye(4)
+        gt[:3, :3] = np.asarray(pair.transform.rotation)
+        gt[:3, 3] = np.asarray(pair.transform.translation)
+        params = SolverParams.preset_3dmatch(
+            sampled_cap=1024, basic_cap=512, hypothesis_batch=8
+        )
+        crit = realdata.SuccessCriteria.threedmatch()
+        r = realdata.evaluate_pair(
+            np.asarray(pair.src), np.asarray(pair.dst), gt, params, crit,
+            jax.random.PRNGKey(3), ddtime=2, decoupled_fallback=True,
+        )
+        assert r.angle_error_deg < 15.0
+        assert r.trans_error < 0.3
