@@ -430,3 +430,157 @@ class TestShippedDataFixtures:
         assert len(np.unique(got[:, 0])) == got.shape[0]  # dedup (matcher.cc:301)
         assert got.shape[0] <= loose.shape[0]  # cross-check only removes
         assert ref.shape[0] == 189  # fixture sanity
+
+
+REG = os.path.join(TDATA, "registration_test")
+
+
+def _csv3(path):
+    """3-row comma CSV -> (3, N) float64 (test_utils.h readFileToEigenMatrix
+    layout of objectIn/sceneIn/translation_test fixtures)."""
+    return np.loadtxt(path, delimiter=",", ndmin=2)
+
+
+class TestRegistrationFixtureGoldens:
+    """The registration_test/ fixture CSVs consumed by the reference's
+    scale/rotation/translation/registration gtests (scale-solver-test.cc,
+    rotation-solver-test.cc:100-135, translation-solver-test.cc:20-115,
+    registration-test.cc:230-290)."""
+
+    def test_scale_identity_and_scaled(self, key):
+        """ScaleSolverTest.UnknownScale (scale-solver-test.cc:23-70):
+        identical TIMs -> scale 1; uniformly scaled TIMs -> that factor."""
+        from psulvsb_tpu.robust.scale import solve_scale_tls
+
+        obj = jnp.asarray(_csv3(os.path.join(REG, "objectIn.csv")))
+        s, _, _ = solve_scale_tls(obj, obj, 1.0, 1.0, key)
+        assert float(s) == pytest.approx(1.0, abs=1e-5)
+        factor = 2.7183
+        s2, _, _ = solve_scale_tls(obj, obj * factor, 1.0, 1.0, key)
+        assert float(s2) == pytest.approx(factor, abs=1e-5)
+
+    def test_fixed_scale_inlier_selector(self):
+        """ScaleSolverTest.FixedScale (scale-solver-test.cc:71-110):
+        identity -> all inliers; *3 + 10 shift -> all outliers."""
+        from psulvsb_tpu.robust.scale import select_scale_inliers
+
+        obj = jnp.asarray(_csv3(os.path.join(REG, "objectIn.csv")))
+        s, inl, _ = select_scale_inliers(obj, obj, 1.0, 1.0)
+        assert float(s) == 1.0
+        assert bool(jnp.all(inl))
+        shifted = obj * 3.0 + 10.0
+        _, inl2, _ = select_scale_inliers(obj, shifted, 1.0, 1.0)
+        assert not bool(jnp.any(inl2))
+
+    def test_fgr_rotation_matlab_reference(self):
+        """RotationSolverTest.FGR problem 3 (rotation-solver-test.cc:100-135):
+        rotation_only_src.csv under the MATLAB-exported arbitrary rotation,
+        noise-free -> FGR recovers it to < 1e-5 angular error."""
+        from psulvsb_tpu.rotation.fgr import fgr_rotation
+        from psulvsb_tpu.core.metrics import angular_error_rad
+
+        src = jnp.asarray(
+            np.loadtxt(os.path.join(REG, "rotation_only_src.csv"),
+                       delimiter=",", ndmin=2).T
+        )
+        expected_r = jnp.asarray([
+            [0.997379773225804, -0.019905935977315, -0.069551000516966],
+            [0.013777311189888, 0.996068297974922, -0.087510750572249],
+            [0.071019530105605, 0.086323226782879, 0.993732623426126],
+        ])
+        dst = expected_r @ src
+        res = fgr_rotation(src, dst, 0.025, max_iterations=1,
+                           gnc_factor=1.4, cost_threshold=1e-3)
+        assert float(angular_error_rad(expected_r, res.rotation)) < 1e-5
+
+    def test_gnc_rotation_identity_fixture(self):
+        """RotationSolverTest.GNCTLS problem 1 shape (identity) on the
+        shipped fixture points (rotation-solver-test.cc:137-160)."""
+        from psulvsb_tpu.rotation.gnc import gnc_tls_rotation
+        from psulvsb_tpu.core.metrics import angular_error_rad
+
+        src = jnp.asarray(
+            np.loadtxt(os.path.join(REG, "rotation_only_src.csv"),
+                       delimiter=",", ndmin=2).T
+        )
+        res = gnc_tls_rotation(src, src, 1e-12, max_iterations=100,
+                               gnc_factor=1.4, cost_threshold=1e-3)
+        assert float(angular_error_rad(jnp.eye(3), res.rotation)) < 1e-5
+
+    def test_translation_zero_axis_and_matlab(self):
+        """TranslationTest.TLSTranslation (translation-solver-test.cc:20-115):
+        zero translation, unit axis translations, and the MATLAB-exported
+        arbitrary translation between the v1/v2 inlier fixtures."""
+        from psulvsb_tpu.robust.translation import solve_translation
+
+        v1 = jnp.asarray(_csv3(os.path.join(REG, "translation_test_v1_inliers.csv")))
+        v2 = jnp.asarray(_csv3(os.path.join(REG, "translation_test_v2_inliers.csv")))
+
+        t, _, _ = solve_translation(v1, v1, 0.025, 1.0)
+        np.testing.assert_allclose(np.asarray(t), np.zeros(3), atol=1e-5)
+
+        for axis in range(3):
+            shifted = v1.at[axis].add(1.0)
+            t, _, _ = solve_translation(v1, shifted, 0.025, 1.0)
+            want = np.zeros(3)
+            want[axis] = 1.0
+            np.testing.assert_allclose(np.asarray(t), want, atol=1e-5)
+
+        # The MATLAB expectations are for UPSTREAM's tiled-TLS estimator;
+        # the fork replaced it with max-interval stabbing (the reference's
+        # own gtest now exercises the stabbing path and drifts the same
+        # ~5e-4 on x — SURVEY.md §4). Assert exact parity on the upstream
+        # estimator and fork-typical closeness on the stabbing solve.
+        from psulvsb_tpu.robust.scalar_tls import tls_vote
+
+        want = np.array([-0.098430131086161, 0.008679113091532, 0.197317864174211])
+        raw = v2 - v1
+        nb = 0.00673642835
+        for axis in range(3):
+            est, _ = tls_vote(raw[axis], jnp.full(raw.shape[1], nb))
+            assert float(est) == pytest.approx(want[axis], abs=1e-9)
+
+        t, _, _ = solve_translation(v1, v2, nb, 1.0)
+        np.testing.assert_allclose(np.asarray(t), want, atol=5e-4)
+
+    def test_fixed_scale_registration_fgr(self, key):
+        """Registration problem 2 (registration-test.cc:230-290): the fork's
+        solve() on objectIn/sceneIn with FGR at noise_bound 0.0067364 vs the
+        MATLAB reference transform, within the reference's own tolerances
+        (0.25 rad rotation, 0.15 translation)."""
+        from psulvsb_tpu.solver.config import SolverParams, RotationEstimationAlgorithm
+        from psulvsb_tpu.solver.psulvsb import psulvsb_solve
+        from psulvsb_tpu.core.metrics import angular_error_rad
+        import contextlib
+
+        # The class-wide x64 fixture promotes int literals to int64, which
+        # breaks the solver's int32 loop carries; this test's tolerances
+        # (0.25 rad / 0.15) don't need f64.
+        stack = contextlib.ExitStack()
+        stack.enter_context(jax.enable_x64(False))
+        self._stack = stack
+
+        obj = jnp.asarray(_csv3(os.path.join(REG, "objectIn.csv")), jnp.float32)
+        scene = jnp.asarray(_csv3(os.path.join(REG, "sceneIn.csv")), jnp.float32)
+        params = SolverParams.preset_3dmatch(
+            noise_bound=0.0067364, noise_bound_dataset=0.0067364,
+            estimate_scaling=False,
+            rotation_estimation_algorithm=RotationEstimationAlgorithm.FGR,
+            sampled_cap=1024, basic_cap=512, hypothesis_batch=8,
+        )
+        keep = jnp.ones((obj.shape[1],), jnp.int32)
+        sol, _ = psulvsb_solve(obj, scene, keep, params, key)
+        expected_r = jnp.asarray([
+            [0.9974, -0.0199, -0.0696],
+            [0.0138, 0.9961, -0.0875],
+            [0.0710, 0.0863, 0.9937],
+        ], jnp.float32)
+        expected_t = np.array([-0.1011, 0.0908, 0.1344])
+        try:
+            assert float(angular_error_rad(expected_r, sol.rotation)) <= 0.25
+            assert (
+                float(np.linalg.norm(np.asarray(sol.translation) - expected_t))
+                <= 0.15
+            )
+        finally:
+            stack.close()
