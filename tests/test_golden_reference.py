@@ -584,3 +584,47 @@ class TestRegistrationFixtureGoldens:
             )
         finally:
             stack.close()
+
+
+class TestScaleAndLargeModelFixtures:
+    def test_solve_for_scale_matlab_ref(self, key):
+        """RegistrationTest.SolveForScale (registration-test.cc:62-100):
+        complete-graph TIMs of objectIn/sceneIn -> TLS scale 0.955885
+        within 0.01 (the MATLAB reference value)."""
+        from psulvsb_tpu.pairs.tims import compute_tims
+        from psulvsb_tpu.robust.scale import solve_scale_tls
+
+        obj = jnp.asarray(_csv3(os.path.join(REG, "objectIn.csv")))
+        scene = jnp.asarray(_csv3(os.path.join(REG, "sceneIn.csv")))
+        src_tims, _, _, _ = compute_tims(obj)
+        dst_tims, _, _, _ = compute_tims(scene)
+        s, _, _ = solve_scale_tls(src_tims, dst_tims, 0.0067364, 1.0, key)
+        assert float(s) == pytest.approx(0.955885, abs=0.01)
+
+    def test_large_model_solve(self, key):
+        """RegistrationTest.LargeModel (registration-test.cc:20-60): the
+        shipped 1000-point model/scene PLYs solve to a valid registration
+        with FGR at noise_bound 0.0337 (the reference asserts only
+        completion; we additionally require validity and finite outputs)."""
+        from psulvsb_tpu.io.ply import read_ply
+        from psulvsb_tpu.solver.config import SolverParams, RotationEstimationAlgorithm
+        from psulvsb_tpu.solver.psulvsb import psulvsb_solve
+
+        with jax.enable_x64(False):
+            src = jnp.asarray(
+                read_ply(os.path.join(REG, "1000point_model.ply")), jnp.float32
+            )
+            dst = jnp.asarray(
+                read_ply(os.path.join(REG, "1000point_scene.ply")), jnp.float32
+            )
+            params = SolverParams.preset_3dmatch(
+                noise_bound=0.0337, noise_bound_dataset=0.0337,
+                estimate_scaling=False,
+                rotation_estimation_algorithm=RotationEstimationAlgorithm.FGR,
+                sampled_cap=1024, basic_cap=512, hypothesis_batch=8,
+            )
+            keep = jnp.ones((src.shape[1],), jnp.int32)
+            sol, _ = psulvsb_solve(src, dst, keep, params, key)
+            assert bool(sol.valid)
+            assert bool(jnp.all(jnp.isfinite(sol.rotation)))
+            assert bool(jnp.all(jnp.isfinite(sol.translation)))
