@@ -83,7 +83,7 @@ def measure_batched_throughput(params, n_pairs: int = 8) -> float:
     return n_pairs / best
 
 
-def stage_breakdown(pair, keep, params, n_corr: int) -> dict:
+def stage_breakdown(pair, keep, params) -> dict:
     """Per-stage attribution via the staged solver with profile syncs.
     First call warms per-stage compiles; per-stage min over two measured
     runs drops stray lazily-compiled branches and tunnel hiccups."""
@@ -213,8 +213,8 @@ def main():
     re5 = float(angular_error_deg(pair5.transform.rotation, s5.rotation))
 
     # Per-stage attribution (VERDICT r1 #5) at both sizes.
-    stage_1889 = stage_breakdown(pair, keep, params, N_CORRS)
-    stage_5000 = stage_breakdown(pair5, keep5, params, 5000)
+    stage_1889 = stage_breakdown(pair, keep, params)
+    stage_5000 = stage_breakdown(pair5, keep5, params)
 
     # Roofline position of the fused program.
     flops = fused_cost_analysis(pair, keep, params)

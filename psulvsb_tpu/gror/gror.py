@@ -196,7 +196,6 @@ def _evaluate_edge(
     return rcfs_count, tcfs_count, angle, r0, t0, axis_t, origin
 
 
-@functools.partial(jax.jit, static_argnames=("resolution", "k_optimal", "min_edge_support"))
 @functools.partial(
     jax.jit, static_argnames=("resolution", "k_optimal", "min_edge_support")
 )

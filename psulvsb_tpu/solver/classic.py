@@ -43,12 +43,15 @@ def _max_clique(adj: np.ndarray, mode: InlierSelectionMode, params: SolverParams
     library is unavailable), on-device greedy for PMC_HEU, k-core peel for
     KCORE_HEU."""
     if mode == InlierSelectionMode.PMC_EXACT:
-        try:
-            from psulvsb_tpu.clique.pmc import exact_max_clique
+        from psulvsb_tpu.clique.pmc import exact_max_clique, native_available
 
+        if native_available():
+            # Runtime failures must surface — PMC_EXACT callers depend on
+            # exact cliques for golden parity; silently degrading to the
+            # heuristic would yield different inlier sets with no warning.
+            # Only library unavailability (no toolchain/.so) falls through
+            # to the greedy lower bound.
             return exact_max_clique(adj, params.max_clique_time_limit)
-        except Exception:
-            pass  # no native toolchain — greedy lower bound below
     if mode == InlierSelectionMode.KCORE_HEU:
         from psulvsb_tpu.clique.kcore import max_kcore_mask
 
@@ -118,7 +121,17 @@ def solve_decoupled(
                 translation=jnp.zeros((3,), dtype),
                 final_inlier_count=jnp.zeros((), jnp.int32),
             )
-            return sol, {"max_clique": clique}
+            # Keep the masks computed before the abort so the api getters
+            # stay truthful (the rotation/translation stages never ran —
+            # those keys are explicitly None, matching the getters'
+            # "not produced by the last solve" behavior).
+            return sol, {
+                "max_clique": clique,
+                "scale_inliers": scale_inliers,
+                "rotation_inliers": None,
+                "translation_inliers": None,
+                "translation_points": None,
+            }
     else:
         clique = [int(i) for i in np.nonzero(np.asarray(active))[0]]
 

@@ -241,6 +241,9 @@ def _init_stage_exact_hist(
                 counts, (jnp.maximum(peak_k - 1, 0),), (3,)
             )
         )
+        # peak_k == 0 slides the slice to bins {0,1,2} while the membership
+        # window |b - peak| <= 1 is only {0,1} — drop the extra bin.
+        red_count = red_count - jnp.where(peak_k == 0, counts[2], 0)
         return peak_k, red_count
 
     def estimate_branch():
@@ -540,6 +543,9 @@ class LocalState(NamedTuple):
     escalate: jax.Array  # () bool — stagnation triggered
     done: jax.Array  # () bool
     extras: HypExtras  # stage masks of the current best hypothesis
+    extras_valid: jax.Array  # () bool — extras ever populated (False when
+    # the warm/GROR seed never got displaced; the zeros placeholder must
+    # not back the inlier getters)
 
 
 def _similar(
@@ -926,6 +932,7 @@ def _local_stage(
             escalate=escalate,
             done=done,
             extras=new_extras,
+            extras_valid=st.extras_valid | keep_new,
         )
 
     init = LocalState(
@@ -940,6 +947,7 @@ def _local_stage(
         escalate=jnp.zeros((), bool),
         done=jnp.zeros((), bool),
         extras=HypExtras.zeros(bcap, c),
+        extras_valid=jnp.zeros((), bool),
     )
     # Hard ceiling on batches: the serial loop ends by confidence
     # (pro_local > 0.99) or stagnation (local_r >= local_max_iter with
@@ -1316,7 +1324,10 @@ def psulvsb_solve(
         if bool(host_take):
             # The host best came from this round — its winning hypothesis's
             # stage masks back the inlier getters (registration.h:600-746).
-            best_extras = local.extras
+            # When the warm/GROR seed survived every batch unbeaten, no
+            # hypothesis's extras exist — the getters must see None rather
+            # than the all-zeros placeholder.
+            best_extras = local.extras if bool(local.extras_valid) else None
         warm = WarmState(
             scale=hs.best.scale,
             rotation=hs.best.rotation,

@@ -235,3 +235,44 @@ class TestDenseInit:
         dead = set(np.flatnonzero(np.asarray(keep) != 1).tolist())
         for i, j in got:
             assert i not in dead and j not in dead and i < j
+
+
+class TestCertificateGuards:
+    def test_out_of_window_scale_not_certified(self, rng):
+        """A true scale beyond the coarse window (num_bins*stride/bpu =
+        102.4 at defaults) clamps all mass into the last coarse bin; the
+        certificate must REFUSE so callers fall back to the subsample
+        estimate instead of accepting an empty fine window."""
+        c = 120
+        src = jnp.asarray(rng.normal(size=(3, c)), jnp.float32)
+        dst = src * 200.0 + jnp.asarray(rng.normal(size=(3, c)) * 0.01, jnp.float32)
+        peak, cnt, cert = exact_peak_bin(src, dst)
+        assert not bool(cert)
+
+    def test_dense_init_out_of_window_scale_still_solves(self):
+        """End-to-end: init_mode='dense' with a scale ratio beyond the
+        Pallas window must fall back to the subsample peak and still
+        register (estimate_scaling)."""
+        from psulvsb_tpu.eval.synthetic import synthetic_cloud, make_synthetic_pair
+        from psulvsb_tpu.solver.config import SolverParams
+        from psulvsb_tpu.solver.psulvsb import psulvsb_solve
+        from psulvsb_tpu.core.metrics import angular_error_deg
+
+        n = 250
+        src = jnp.asarray(synthetic_cloud(n, seed=5))
+        pair = make_synthetic_pair(
+            jax.random.PRNGKey(4), src, noise_bound=0.01, outlier_rate=0.6,
+            outlier_mode="mismatch",
+        )
+        scale = 150.0  # beyond the exact_peak_bin window (~102.4)
+        dst = pair.dst * scale
+        keep = jnp.ones((n,), jnp.int32)
+        p = SolverParams.preset_3dmatch(
+            estimate_scaling=True, init_mode="dense",
+            sampled_cap=512, basic_cap=256, hypothesis_batch=4,
+            scale_max_draws=64,
+        )
+        sol, _ = psulvsb_solve(pair.src, dst, keep, p, jax.random.PRNGKey(6))
+        re = float(angular_error_deg(pair.transform.rotation, sol.rotation))
+        assert re < 5.0, re
+        assert abs(float(sol.scale) / scale - 1.0) < 0.1

