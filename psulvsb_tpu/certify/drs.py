@@ -44,7 +44,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from psulvsb_tpu.core.linalg import hatmap
+from psulvsb_tpu.core.linalg import hatmap, nearest_psd
 from psulvsb_tpu.utils.precision import mm
 
 
@@ -312,13 +312,6 @@ def _min_eig(m: jax.Array) -> jax.Array:
     return jnp.linalg.eigvalsh(sym)[0]
 
 
-def _nearest_psd(m: jax.Array) -> jax.Array:
-    sym = (m + m.T) / 2
-    w, v = jnp.linalg.eigh(sym)
-    w = jnp.maximum(w, 0)
-    return mm(v * w[None, :], v.T)
-
-
 # --- the certifier -----------------------------------------------------------
 
 
@@ -374,7 +367,7 @@ def certify_rotation(
         done: jax.Array
 
     def body(c: Carry) -> Carry:
-        m_psd = _nearest_psd(c.m)
+        m_psd = nearest_psd(c.m)
         temp_w = 2.0 * m_psd - c.m - m_init
         w_dual = dual_projection(temp_w, theta_p)
         m_affine = m_init + w_dual
@@ -449,6 +442,14 @@ class DRSCertifier:
         )
         with dev_ctx, jax.enable_x64(True):
             r64 = jnp.asarray(np.asarray(r_solution), jnp.float64)
+            # Bool masks (the reference's primary overload,
+            # certification.cc:23, and what gnc/fgr inlier outputs are) must
+            # become TLS signs {+1, -1} — a plain float cast would yield
+            # {1, 0} and certify a different problem (outlier lanes zeroed
+            # out of x, mu, and every projection).
+            theta_np = np.asarray(theta)
+            if theta_np.dtype == np.bool_:
+                theta_np = np.where(theta_np, 1.0, -1.0)
             if polish:
                 # Opt-in: certify the f64-polished local optimum instead of
                 # the raw estimate. The main solver runs in f32 on TPU; an
@@ -460,7 +461,7 @@ class DRSCertifier:
                 # rotation, not the one passed in.
                 from psulvsb_tpu.core.linalg import svd_rot
 
-                w64 = jnp.asarray(np.asarray(theta) > 0, jnp.float64)
+                w64 = jnp.asarray(theta_np > 0, jnp.float64)
                 r64 = svd_rot(
                     jnp.asarray(np.asarray(src), jnp.float64),
                     jnp.asarray(np.asarray(dst), jnp.float64),
@@ -470,7 +471,7 @@ class DRSCertifier:
                 r64,
                 jnp.asarray(np.asarray(src), jnp.float64),
                 jnp.asarray(np.asarray(dst), jnp.float64),
-                jnp.asarray(np.asarray(theta), jnp.float64),
+                jnp.asarray(theta_np, jnp.float64),
                 noise_bound=self.noise_bound,
                 cbar2=self.cbar2,
                 max_iterations=self.max_iterations,

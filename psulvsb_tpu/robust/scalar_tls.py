@@ -127,8 +127,12 @@ def scale_consensus_1pt(
         warm_value = jnp.zeros((), dtype=x.dtype)
 
     # Draw K candidate values from the active measurements (with
-    # replacement, like `rand() % N`).
-    probs = active.astype(x.dtype)
+    # replacement, like `rand() % N`). All-inactive input (fully padded
+    # hypothesis) falls back to uniform draws — NaN sampling probabilities
+    # would otherwise poison candidates/estimate/inliers silently; the
+    # caller's masks drop the garbage-but-finite result either way.
+    any_active = jnp.any(active)
+    probs = jnp.where(any_active, active.astype(x.dtype), 1.0)
     probs = probs / jnp.sum(probs)
     idx = jax.random.choice(key, n, shape=(max_draws,), replace=True, p=probs)
     candidates = x[idx]
@@ -238,8 +242,6 @@ class ScalarTLSEstimator:
     is the stock adaptive-voting estimator."""
 
     def __init__(self, key=None):
-        import jax
-
         self._key = key if key is not None else jax.random.PRNGKey(0)
 
     def estimate(self, x, ranges, mode: str = "scale", warm_value=None,
@@ -247,8 +249,6 @@ class ScalarTLSEstimator:
         """mode="scale": 1-point RANSAC consensus (STswitch == 0 path);
         mode="translation": max-interval stabbing (STswitch >= 1 path;
         `noise` is the per-axis translation noise, default ranges[0])."""
-        import jax
-
         x = jnp.asarray(x)
         ranges = jnp.asarray(ranges)
         if mode == "scale":

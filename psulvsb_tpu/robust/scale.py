@@ -98,15 +98,11 @@ class TLSScaleSolver:
     """Facade of teaser::TLSScaleSolver (registration.h:138-166)."""
 
     def __init__(self, noise_bound: float, cbar2: float, seed: int = 0):
-        import jax
-
         self.noise_bound = noise_bound
         self.cbar2 = cbar2
         self._key = jax.random.PRNGKey(seed)
 
     def solveForScale(self, src_tims, dst_tims):
-        import jax
-
         self._key, sub = jax.random.split(self._key)
         scale, inliers, _ = solve_scale_tls(
             jnp.asarray(src_tims), jnp.asarray(dst_tims),

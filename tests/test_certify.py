@@ -205,3 +205,23 @@ class TestCertify:
         assert res.best_suboptimality.dtype == jnp.float64
         # Ambient default must be untouched after the enable_x64 scope.
         assert jnp.zeros(()).dtype == jnp.float32
+
+    def test_bool_theta_equals_sign_theta(self, rng):
+        """A bool inlier mask (the reference's primary overload,
+        certification.cc:23, and what the GNC/FGR solvers return) must mean
+        TLS signs {+1, -1}. A plain float cast would turn outliers into
+        theta=0 and certify a different problem."""
+        r = random_rotation(rng)
+        src = rng.normal(size=(3, 12)).astype(np.float32)
+        dst = (r @ src).astype(np.float32)
+        dst[:, :2] += 5.0  # two gross outliers
+        signs = np.ones(12, np.float32)
+        signs[:2] = -1.0
+        mask = signs > 0
+        cert = DRSCertifier(noise_bound=0.01, cbar2=1.0, max_iterations=50)
+        res_signs = cert.certify(r.astype(np.float32), src, dst, signs)
+        res_bool = cert.certify(r.astype(np.float32), src, dst, mask)
+        assert bool(res_bool.is_optimal) == bool(res_signs.is_optimal)
+        assert float(res_bool.best_suboptimality) == pytest.approx(
+            float(res_signs.best_suboptimality), rel=1e-6, abs=1e-9
+        )
