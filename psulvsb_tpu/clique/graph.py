@@ -132,11 +132,15 @@ class MaxCliqueSolver:
             return [int(v) for v in np.where(cores >= max_core)[0]]
 
         if self.params.solver_mode == CliqueSolverMode.PMC_EXACT:
-            return exact_max_clique(
-                adj,
-                time_limit_s=self.params.time_limit,
-                n_threads=self.params.num_threads,
-            )
+            # Documented fallback (kcore.py): degrade to the greedy
+            # heuristic only when the native library is UNAVAILABLE (no
+            # toolchain); a present library's runtime errors must surface.
+            if native_available():
+                return exact_max_clique(
+                    adj,
+                    time_limit_s=self.params.time_limit,
+                    n_threads=self.params.num_threads,
+                )
 
         # Heuristic modes: greedy clique seeded by core order (the PMC
         # heuristic's strategy, `heu_strat = "kcore"`, graph.cc:50).

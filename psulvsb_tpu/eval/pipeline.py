@@ -16,7 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from psulvsb_tpu.utils.padding import pad_columns
+from psulvsb_tpu.utils.padding import (
+    DEFAULT_PAD_BUCKETS,
+    pad_columns,
+    pad_to_bucket,
+)
 from psulvsb_tpu.frontend.normals import estimate_normals
 from psulvsb_tpu.frontend.histogram_filter import normal_angle_histogram_filter
 from psulvsb_tpu.solver.config import SolverParams
@@ -31,15 +35,11 @@ class PipelineResult(NamedTuple):
     elapsed_s: float
 
 
-DEFAULT_PAD_BUCKETS = (256, 512, 1024, 2048, 4096, 6144, 8192)
-
-
 def pad_bucket(c: int, pad_buckets: tuple[int, ...] = DEFAULT_PAD_BUCKETS) -> int:
-    """Padded size bucket a C-correspondence pair compiles under."""
-    for b in pad_buckets:
-        if c <= b:
-            return b
-    return pad_buckets[-1]
+    """Padded size bucket a C-correspondence pair compiles under. Beyond the
+    largest bucket this grows (1024-aligned) rather than truncate — see
+    utils/padding.pad_to_bucket."""
+    return pad_to_bucket(c, pad_buckets)
 
 
 def solve_with_prefilter(

@@ -81,8 +81,11 @@ def run_protocol(
         rows = []
         results: list[TrialResult] = []
         name_tag = zlib.crc32(name.encode()) % (1 << 30)  # deterministic
+        # Nested fold_in (by name, then trial) — additive name_tag + t would
+        # alias trial streams of clouds whose tags differ by < trials.
+        cloud_key = jax.random.fold_in(jax.random.PRNGKey(seed), name_tag)
         for t in range(trials):
-            key = jax.random.fold_in(jax.random.PRNGKey(seed), name_tag + t)
+            key = jax.random.fold_in(cloud_key, t)
             r = run_trial(key, src, params, noise_bound, outlier_rate)
             results.append(r)
             rows.append([t, r.scale_error, r.angle_error_deg, r.trans_error, r.rmse, r.time_s])

@@ -136,7 +136,11 @@ class FPFHEstimation:
         from psulvsb_tpu.frontend.normals import estimate_normals
 
         pts = jnp.asarray(np.asarray(points), jnp.float32)
-        normals = estimate_normals(pts, k=self.normal_k)
+        # Radius-bounded normals like the reference's setRadiusSearch
+        # (fpfh.cc:30); normal_k caps the neighborhood size.
+        normals = estimate_normals(
+            pts, k=self.normal_k, radius=float(normal_search_radius)
+        )
         return compute_fpfh(
             pts, normals, fpfh_search_radius, k=self.neighbor_cap
         )

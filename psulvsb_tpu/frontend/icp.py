@@ -56,35 +56,51 @@ def icp_point_to_point(
         r: jax.Array
         t: jax.Array
         i: jax.Array
-        rmse: jax.Array
         done: jax.Array
 
-    def body(c: Carry) -> Carry:
-        moved = mm(c.r, src) + c.t[:, None]
+    def correspond(r, t):
+        moved = mm(r, src) + t[:, None]
         idx, d2 = knn(moved, dst, k=1, point_active=dst_active)
         nn = dst[:, idx[:, 0]]
         w = ((d2[:, 0] <= max_d2) & src_active).astype(dtype)
-        count = jnp.maximum(jnp.sum(w), 1.0)
-        rmse = jnp.sqrt(jnp.sum(d2[:, 0] * w) / count)
+        n_in = jnp.sum(w)
+        # No correspondence within range is a DIVERGED state, not a perfect
+        # fit: rmse must read inf (a zero-weight Procrustes would otherwise
+        # pair a garbage transform with rmse 0.0).
+        rmse = jnp.where(
+            n_in > 0,
+            jnp.sqrt(jnp.sum(d2[:, 0] * w) / jnp.maximum(n_in, 1.0)),
+            jnp.asarray(jnp.inf, dtype),
+        )
+        return nn, w, n_in, rmse
+
+    def body(c: Carry) -> Carry:
+        nn, w, n_in, _rmse = correspond(c.r, c.t)
         r_new, t_new = weighted_procrustes_srt(src, nn, w)
+        diverged = n_in == 0
+        r_new = jnp.where(diverged, c.r, r_new)
+        t_new = jnp.where(diverged, c.t, t_new)
         delta = jnp.max(jnp.abs(r_new - c.r)) + jnp.max(jnp.abs(t_new - c.t))
         return Carry(
-            r=r_new, t=t_new, i=c.i + 1, rmse=rmse, done=delta < tolerance
+            r=r_new, t=t_new, i=c.i + 1,
+            done=(delta < tolerance) | diverged,
         )
 
     init = Carry(
         r=init_rotation,
         t=init_translation,
         i=jnp.int32(0),
-        rmse=jnp.asarray(jnp.inf, dtype),
         done=jnp.zeros((), bool),
     )
     final = jax.lax.while_loop(
         lambda c: (~c.done) & (c.i < max_iterations), body, init
     )
+    # Report the residual of the transform actually returned (inside the
+    # loop it would lag one update behind).
+    _, _, _, rmse_final = correspond(final.r, final.t)
     return ICPResult(
         rotation=final.r,
         translation=final.t,
         iterations=final.i,
-        rmse=final.rmse,
+        rmse=rmse_final,
     )

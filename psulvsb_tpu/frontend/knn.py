@@ -32,15 +32,15 @@ def knn(
     query: jax.Array,
     points: jax.Array,
     k: int,
-    query_active: jax.Array | None = None,
     point_active: jax.Array | None = None,
     block: int = 2048,
 ) -> tuple[jax.Array, jax.Array]:
     """k nearest neighbors of each query column among point columns.
 
     query: (d, M), points: (d, N). Returns (indices (M, k), sq dists (M, k)),
-    ascending. Inactive points get +inf distance (never selected); inactive
-    queries return arbitrary results (mask downstream).
+    ascending. Inactive points get +inf distance (never selected). There is
+    deliberately no query mask — inactive queries return ordinary results
+    that callers mask downstream.
     """
     d, m = query.shape
     n = points.shape[1]

@@ -138,26 +138,21 @@ def _tuple_test(
     pts_j: np.ndarray,
     tuple_scale: float,
     seed: int,
-    max_trials: int = 300_000,
+    chunk: int = 500_000,
 ) -> np.ndarray:
     """Random triangle scale-consistency test (matcher.cc:225-285): draw
     ncorr*100 random triads of correspondences; a triad passes if all three
     edge-length ratios lie in (tuple_scale, 1/tuple_scale); pairs in any
-    passing triad survive."""
+    passing triad survive. The full ncorr*100 trials always run (reference
+    parity); `chunk` only bounds peak memory per batch of triads."""
     ncorr = corres.shape[0]
-    trials = min(ncorr * 100, max_trials)
+    trials = ncorr * 100
     key = jax.random.PRNGKey(seed)
-    triads = jax.random.randint(key, (trials, 3), 0, ncorr)
 
     ci = jnp.asarray(corres[:, 0])
     cj = jnp.asarray(corres[:, 1])
     pi = jnp.asarray(pts_i, jnp.float32)
     pj = jnp.asarray(pts_j, jnp.float32)
-
-    ti = ci[triads]  # (T, 3) indices into pts_i
-    tj = cj[triads]
-    a = pi[:, ti]  # (3, T, 3)
-    b = pj[:, tj]
 
     def edges(p):  # (3, T, 3) -> (T, 3) edge lengths
         e0 = jnp.linalg.norm(p[:, :, 0] - p[:, :, 1], axis=0)
@@ -165,11 +160,18 @@ def _tuple_test(
         e2 = jnp.linalg.norm(p[:, :, 2] - p[:, :, 0], axis=0)
         return jnp.stack([e0, e1, e2], axis=1)
 
-    li = edges(a)
-    lj = edges(b)
-    ok = jnp.all((li * tuple_scale < lj) & (lj < li / tuple_scale), axis=1)
-
     keep = jnp.zeros((ncorr,), bool)
-    keep = keep.at[triads.reshape(-1)].max(jnp.repeat(ok, 3))
+    for start in range(0, trials, chunk):
+        t = min(chunk, trials - start)
+        key, sub = jax.random.split(key)
+        triads = jax.random.randint(sub, (t, 3), 0, ncorr)
+        ti = ci[triads]  # (T, 3) indices into pts_i
+        tj = cj[triads]
+        a = pi[:, ti]  # (3, T, 3)
+        b = pj[:, tj]
+        li = edges(a)
+        lj = edges(b)
+        ok = jnp.all((li * tuple_scale < lj) & (lj < li / tuple_scale), axis=1)
+        keep = keep.at[triads.reshape(-1)].max(jnp.repeat(ok, 3))
     keep = np.asarray(keep)
     return corres[keep]

@@ -25,9 +25,9 @@ def voxel_downsample(points: np.ndarray, leaf_size: float) -> np.ndarray:
     order = np.argsort(key, kind="stable")
     key_s = key[order]
     pts_s = pts[:, order]
-    # Segment means.
-    boundaries = np.concatenate([[0], np.nonzero(np.diff(key_s))[0] + 1, [key_s.size]])
-    out = np.empty((3, boundaries.size - 1), pts.dtype)
-    for c, (a, b) in enumerate(zip(boundaries[:-1], boundaries[1:])):
-        out[:, c] = pts_s[:, a:b].mean(axis=1)
-    return out
+    # Vectorized segment means (a per-voxel Python loop costs seconds of
+    # host time at KITTI scale, ~1e5-1e6 occupied voxels).
+    starts = np.concatenate([[0], np.nonzero(np.diff(key_s))[0] + 1])
+    counts = np.diff(np.concatenate([starts, [key_s.size]]))
+    sums = np.add.reduceat(pts_s, starts, axis=1)
+    return (sums / counts[None, :]).astype(pts.dtype)

@@ -153,3 +153,40 @@ class TestTiming:
         assert "elapsed_s" in r
         for i in range(25):
             log_throttled("k", f"msg {i}", every=10)
+
+
+class TestICPDivergence:
+    def test_no_correspondence_reports_inf_rmse(self, rng):
+        """ICP with no correspondence in range is a DIVERGED state: rmse
+        must be inf and the init transform must come back unchanged (not a
+        garbage zero-weight Procrustes with rmse 0.0)."""
+        from psulvsb_tpu.frontend.icp import icp_point_to_point
+
+        src = jnp.asarray(rng.normal(size=(3, 50)), jnp.float32)
+        dst = src + 100.0  # far beyond max_correspondence_distance
+        res = icp_point_to_point(
+            src, dst, max_correspondence_distance=0.1, max_iterations=5
+        )
+        assert not bool(jnp.isfinite(res.rmse))
+        np.testing.assert_allclose(np.asarray(res.rotation), np.eye(3), atol=1e-6)
+
+    def test_rmse_matches_returned_transform(self, rng):
+        """The reported rmse must be computed under the RETURNED transform
+        (inside the loop it lags one update behind)."""
+        from psulvsb_tpu.frontend.icp import icp_point_to_point
+        from psulvsb_tpu.utils.precision import mm
+
+        src = jnp.asarray(rng.normal(size=(3, 80)), jnp.float32)
+        t_true = jnp.asarray([0.05, -0.02, 0.03])
+        dst = src + t_true[:, None]
+        res = icp_point_to_point(
+            src, dst, max_correspondence_distance=0.5, max_iterations=1
+        )
+        # One iteration from identity solves the pure translation exactly,
+        # so the returned transform's residual is ~0 (knn's f32 distance
+        # noise floor ~1e-4); the pre-update (stale) rmse would be
+        # ||t_true|| ~ 0.06.
+        assert float(res.rmse) < 1e-3
+        moved = mm(res.rotation, src) + res.translation[:, None]
+        d = jnp.sqrt(jnp.mean(jnp.sum((dst - moved) ** 2, axis=0)))
+        assert float(res.rmse) == pytest.approx(float(d), abs=1e-3)
