@@ -226,14 +226,15 @@ def exact_peak_bin(
     fpeak = jnp.argmax(fine).astype(jnp.int32)
     peak_count = fine[fpeak]
     # Certificate: every fine bin under coarse bin k has count <= coarse[k].
-    # The coarse argmax landing on the LAST bin is never certifiable — it
-    # absorbs the entire out-of-window tail (clamp_overflow=True), so its
-    # count bounds nothing about any single fine bin; without this guard a
-    # true ratio beyond the window (num_bins*stride/bins_per_unit) would
-    # "certify" an empty fine window instead of falling back.
-    in_window = jnp.abs(jnp.arange(coarse.shape[0]) - cpeak) <= 1
-    outside_max = jnp.max(jnp.where(in_window, 0, coarse))
-    certified = (outside_max < jnp.maximum(peak_count, 1)) & (
-        cpeak < coarse.shape[0] - 1
+    # The LAST coarse bin absorbs the entire out-of-window tail
+    # (clamp_overflow=True), so its aggregated count bounds nothing about
+    # any single fine bin: it must never count as "inside the window"
+    # (second-to-last-bin peaks would otherwise shadow a larger true peak
+    # hiding in the clamp mass) and an argmax ON it is never certifiable.
+    nb = coarse.shape[0]
+    in_window = (jnp.abs(jnp.arange(nb) - cpeak) <= 1) & (
+        jnp.arange(nb) < nb - 1
     )
+    outside_max = jnp.max(jnp.where(in_window, 0, coarse))
+    certified = (outside_max < jnp.maximum(peak_count, 1)) & (cpeak < nb - 1)
     return lo + fpeak, peak_count, certified

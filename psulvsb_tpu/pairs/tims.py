@@ -80,12 +80,9 @@ def scale_ratio_histogram(
 
     Returns (counts (num_bins,) int32, bin index per ratio (L,) int32).
     """
-    if num_bins is None:
-        num_bins = int(max_scale) * bins_per_unit
-    idx = jnp.floor(ratios / max_scale * num_bins).astype(jnp.int32)
-    idx = jnp.clip(idx, 0, num_bins - 1)
-    # Reference: H_index > H.size() or < 0 -> 0 (registration.cc:721-723).
-    idx = jnp.where(jnp.isfinite(ratios), idx, 0)
+    # Reference: H_index > H.size() or < 0 -> 0 (registration.cc:721-723);
+    # binning geometry shared with ratio_bin_indices (single source).
+    idx, num_bins = ratio_bin_indices(ratios, max_scale, bins_per_unit, num_bins)
     counts = jnp.zeros((num_bins,), jnp.int32).at[idx].add(
         pair_active.astype(jnp.int32)
     )
@@ -118,7 +115,8 @@ def sort_peak_bin(
     the max-count bin, never the full counts vector.
 
     Returns (peak bin, peak count). Inactive entries sort to a sentinel
-    past num_bins and are excluded.
+    past num_bins and are excluded; with NO active entry the peak is bin 0
+    with count 0 (the histogram-argmax convention — never the sentinel).
     """
     n = bin_idx.shape[0]
     s = jnp.sort(jnp.where(active, bin_idx, num_bins))
@@ -129,7 +127,8 @@ def sort_peak_bin(
     run_start = jax.lax.cummax(jnp.where(is_start, pos, 0))
     run_len = jnp.where(s < num_bins, pos - run_start + 1, 0)
     best = jnp.argmax(run_len)
-    return s[best], run_len[best]
+    cnt = run_len[best]
+    return jnp.where(cnt > 0, s[best], 0), cnt
 
 
 def masked_random_compact(
@@ -138,22 +137,32 @@ def masked_random_compact(
     idx_i: jax.Array,
     idx_j: jax.Array,
     cap: int,
+    max_index: int = 1 << 30,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Compact a uniformly-random subset of the masked pairs into (cap,)
     arrays via one multi-operand sort (scatter-free; the random sort keys
     double as the uniform decimation when the mask count exceeds cap).
 
+    max_index: static exclusive upper bound on the index values (the
+    correspondence count C at the call site). When it fits 15 bits, (i, j)
+    packs into one i32 payload — a 2-operand sort is measurably cheaper
+    than 3-operand on TPU. Larger domains (pad_to_bucket grows unboundedly
+    past 8192) take the 3-operand form: i*65536+j would wrap negative at
+    i >= 32768 and unpack to garbage indices.
+
     Returns (red_i (cap,), red_j (cap,), count = min(#mask, cap)).
     """
-    # Single payload operand: pack (i, j) into one i32 (i * 2^16 + j stays
-    # positive for i < 32768 — far above any padded correspondence count);
-    # a 2-operand sort is measurably cheaper than 3-operand on TPU.
     r = jax.random.randint(key, mask.shape, 0, jnp.int32(1 << 30))
     keys = jnp.where(mask, r, jnp.int32(1 << 30))  # non-members sort last
-    packed = idx_i.astype(jnp.int32) * 65536 + idx_j.astype(jnp.int32)
-    _, sp = jax.lax.sort((keys, packed), num_keys=1)
     total = jnp.sum(mask, dtype=jnp.int32)
-    return sp[:cap] // 65536, sp[:cap] % 65536, jnp.minimum(total, cap)
+    if max_index <= 1 << 15:
+        packed = idx_i.astype(jnp.int32) * 65536 + idx_j.astype(jnp.int32)
+        _, sp = jax.lax.sort((keys, packed), num_keys=1)
+        return sp[:cap] // 65536, sp[:cap] % 65536, jnp.minimum(total, cap)
+    _, si, sj = jax.lax.sort(
+        (keys, idx_i.astype(jnp.int32), idx_j.astype(jnp.int32)), num_keys=1
+    )
+    return si[:cap], sj[:cap], jnp.minimum(total, cap)
 
 
 def peak_bin_mask(

@@ -139,12 +139,12 @@ class SolverParams:
     # - "sampled": estimate the peak from a pair subsample and
     #   rejection-sample the reduced set (uniform over the reduced set).
     # - "auto": "dense" up to dense_init_max_c, else "exact_hist"
-    #   (estimate_scaling) / "sampled" (known scale).
+    #   (estimate_scaling, TPU backend only — interpret-mode Pallas costs
+    #   seconds per call on CPU) / "sampled".
     init_mode: str = "auto"
     # Largest C the dense init materializes (C, C) f32 matrices for
     # (~1.1 GB HBM at 8192; beyond that auto switches to O(C) modes).
     dense_init_max_c: int = 8192
-    init_sampled_threshold: int = 4_000_000  # (explicit "exact" guidance)
     init_peak_sample: int = 1 << 20  # pairs used to locate the peak bin
     init_reject_budget: int = 1 << 21  # pair draws for reduced-set filling
     # Windowed-bin count for the exact_hist Pallas kernel: the window covers

@@ -142,16 +142,20 @@ def _init_stage_sampled(
     )
 
 
+def _draw_pairs(key, budget: int, c: int):
+    """budget uniform random unordered pairs (i < j, i != j) over [0, c)."""
+    ka, kb = jax.random.split(key)
+    a = jax.random.randint(ka, (budget,), 0, c)
+    b = jax.random.randint(kb, (budget,), 0, c - 1)
+    b = jnp.where(b >= a, b + 1, b)  # b != a, uniform over pairs
+    return jnp.minimum(a, b), jnp.maximum(a, b)
+
+
 def _subsample_peak(ori_src, ori_dst, active, params: SolverParams, key):
     """Histogram peak-bin estimate from `init_peak_sample` uniform random
     active pairs (the scale mode is identifiable from a subsample)."""
     c = ori_src.shape[1]
-    s1 = params.init_peak_sample
-    ka, kb = jax.random.split(key)
-    a = jax.random.randint(ka, (s1,), 0, c)
-    b = jax.random.randint(kb, (s1,), 0, c - 1)
-    b = jnp.where(b >= a, b + 1, b)  # b != a, uniform over pairs
-    pi, pj = jnp.minimum(a, b), jnp.maximum(a, b)
+    pi, pj = _draw_pairs(key, params.init_peak_sample, c)
     ok = active[pi] & active[pj]
     st = ori_src[:, pj] - ori_src[:, pi]
     dt = ori_dst[:, pj] - ori_dst[:, pi]
@@ -176,11 +180,7 @@ def _fill_reduced_pool(
     r_cap = params.reduced_cap
     budget = params.init_reject_budget
     k_draw, k_compact = jax.random.split(key)
-    ka, kb = jax.random.split(k_draw)
-    a = jax.random.randint(ka, (budget,), 0, c)
-    b = jax.random.randint(kb, (budget,), 0, c - 1)
-    b = jnp.where(b >= a, b + 1, b)
-    pi, pj = jnp.minimum(a, b), jnp.maximum(a, b)
+    pi, pj = _draw_pairs(k_draw, budget, c)
     member = (
         active[pi] & active[pj] & _pair_window_test(
             ori_src, ori_dst, pi, pj, params, peak_bin
@@ -193,7 +193,9 @@ def _fill_reduced_pool(
     # The pool holds min(accept, r_cap) actual members; red_count (the
     # |reduced| size estimate) may exceed the pool — sampling clamps to the
     # pool size.
-    red_i, red_j, pool = masked_random_compact(k_compact, member, pi, pj, r_cap)
+    red_i, red_j, pool = masked_random_compact(
+        k_compact, member, pi, pj, r_cap, max_index=c
+    )
     return red_i, red_j, red_count_est, pool
 
 
@@ -315,15 +317,23 @@ def _init_stage_dense(
     valid = (iu[:, None] < iu[None, :]) & active[:, None] & active[None, :]
 
     if params.estimate_scaling:
-        peak, _cnt, cert = exact_peak_bin(
-            ori_src, ori_dst, active,
-            bins_per_unit=params.hist_bins_per_unit,
-        )
-        peak = jax.lax.cond(
-            cert,
-            lambda: peak,
-            lambda: _subsample_peak(ori_src, ori_dst, active, params, k_peak),
-        )
+        if jax.default_backend() == "tpu":
+            peak, _cnt, cert = exact_peak_bin(
+                ori_src, ori_dst, active,
+                bins_per_unit=params.hist_bins_per_unit,
+            )
+            peak = jax.lax.cond(
+                cert,
+                lambda: peak,
+                lambda: _subsample_peak(
+                    ori_src, ori_dst, active, params, k_peak
+                ),
+            )
+        else:
+            # Interpret-mode Pallas costs ~seconds per call on CPU
+            # (~1.6 s at C=4096); the subsample peak estimate is the
+            # established CPU form (same fallback the certificate uses).
+            peak = _subsample_peak(ori_src, ori_dst, active, params, k_peak)
         num_bins = int(params.hist_max_scale) * params.hist_bins_per_unit
         ratio = v2 / jnp.where(v1 > 0, v1, 1.0)
         bins = jnp.clip(
@@ -376,8 +386,9 @@ def _init_stage(
     it into an explicit (i, j) pair-index array.
 
     Modes (params.init_mode): "exact" sweeps the O(C^2) universe once;
-    "sampled" (or "auto" at L > init_sampled_threshold) uses
-    _init_stage_sampled — no O(C^2) materialization at all.
+    "auto" routes by size and backend: "dense" up to dense_init_max_c,
+    then "exact_hist" (scale estimation, TPU) or "sampled" — no O(C^2)
+    materialization beyond the dense window.
 
     keep_mask: (C,) int32 in {1, 0, -1} as produced by the histogram
     pre-filter (PSULVSB.cc:87-172): 1 = reduced set, 0 = dropped but
@@ -391,10 +402,12 @@ def _init_stage(
     if mode == "auto":
         if c <= params.dense_init_max_c:
             mode = "dense"  # exact membership, MXU distance matrices
-        elif params.estimate_scaling:
+        elif params.estimate_scaling and jax.default_backend() == "tpu":
             mode = "exact_hist"  # exact Pallas peak, sampled pool
         else:
-            mode = "sampled"  # known-scale window test is already exact
+            # Known scale: the window test is already exact. Non-TPU:
+            # interpret-mode Pallas costs seconds per call — subsample.
+            mode = "sampled"
     if mode == "exact_hist" and not params.estimate_scaling:
         mode = "sampled"  # no histogram in the known-scale branch
     if mode == "sampled":
@@ -441,7 +454,7 @@ def _init_stage(
     # decimation when the reduced set overflows the cap (plain cumsum
     # compaction would keep lexicographically-first pairs — biased low-i).
     red_i, red_j, red_count = masked_random_compact(
-        key, reduced_mask, idx_i, idx_j, r_cap
+        key, reduced_mask, idx_i, idx_j, r_cap, max_index=c
     )
     return red_i, red_j, red_count, red_count
 

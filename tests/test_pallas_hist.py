@@ -110,7 +110,9 @@ class TestSortUtilities:
         idx_i = jnp.asarray(rng.integers(0, 3000, size=n), jnp.int32)
         idx_j = jnp.asarray(rng.integers(0, 3000, size=n), jnp.int32)
         cap = 8192
-        ri, rj, cnt = masked_random_compact(key, mask, idx_i, idx_j, cap)
+        ri, rj, cnt = masked_random_compact(
+            key, mask, idx_i, idx_j, cap, max_index=3000
+        )  # packed (2-operand) path
         m = int(mask.sum())
         assert int(cnt) == m  # under cap: every member kept
         got = set(zip(np.asarray(ri)[:m].tolist(), np.asarray(rj)[:m].tolist()))
@@ -127,6 +129,7 @@ class TestSortUtilities:
         mask = jnp.ones((n,), bool)
         idx_i = jnp.arange(n, dtype=jnp.int32)
         idx_j = jnp.arange(n, dtype=jnp.int32) + 1
+        # default max_index: the 3-operand (large-domain) path
         ri, rj, cnt = masked_random_compact(key, mask, idx_i, idx_j, 256)
         assert int(cnt) == 256
         # Decimation is a subset of the members, no duplicates.
