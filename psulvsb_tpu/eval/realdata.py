@@ -330,6 +330,7 @@ def run_benchmark(
     ddtime: int = 10,
     unknown_scale: bool = False,
     seed: int = 0,
+    decoupled_fallback: bool = False,
 ) -> dict:
     """Dataset sweep: per-scene CSVs + averages CSV. Layout mirrors the
     reference: <data_root>/<scene>/ holds the corr/GT files and a
@@ -340,8 +341,11 @@ def run_benchmark(
             if dataset == "kitti"
             else SolverParams.preset_3dmatch()
         )
-        if unknown_scale:
-            params = params.replace(estimate_scaling=True)
+        # The reference driver ties scale estimation to the unknown-scale
+        # protocol (params.estimate_scaling = unknownScale, main.cc:319):
+        # the standard runs solve at known scale via the beta-window reduced
+        # set (registration.cc:753-767).
+        params = params.replace(estimate_scaling=unknown_scale)
     criteria = (
         SuccessCriteria.kitti() if dataset == "kitti" else SuccessCriteria.threedmatch()
     )
@@ -367,6 +371,7 @@ def run_benchmark(
             ddtime=ddtime,
             unknown_scale=unknown_scale,
             seed=seed,
+            decoupled_fallback=decoupled_fallback,
         )
         summary[scene] = stats
         avg_rows.append([scene] + [stats[k] for k in sorted(stats)])

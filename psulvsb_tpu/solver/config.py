@@ -114,6 +114,26 @@ class SolverParams:
     gror_resolution: float = 0.1  # cloud resolution; thresholds are 2x this
     gror_k_optimal: int = 800  # registration_artificial.cc:536
 
+    # --- clique-seeded warm start (TPU-native addition, off by default) ----
+    # The faithful known-scale path feeds ALL basic TIMs to GNC
+    # (registration.cc:984-991), which plateaus at >= 97% mismatch outliers;
+    # the reference's harness escapes only via its 60 s budget. The compacted
+    # reduced set is already a consistency graph (beta-window members at
+    # known scale, peak+-1 ratio bins under scale estimation), so one greedy
+    # clique over it + a chain-TIM decoupled solve over the clique points
+    # yields a near-correct transform, which seeds the warm state: the local
+    # loop baselines every hypothesis batch against it (a hypothesis must
+    # beat its sampled inlier count to displace it) and host scoring adopts
+    # it. Fully in-jit; known-scale only (both orchestrators ignore the flag
+    # under estimate_scaling): the beta window (user noise bound) makes the
+    # inlier clique's core number dominate the random-coincidence edges,
+    # while the peak+-1 ratio graph is loose enough that greedy cliques of
+    # coincidental outliers can poison the seed (measured: RE 161 deg at 97%
+    # mismatch outliers with scale estimation on).
+    clique_init: bool = False
+    clique_cap: int = 256  # max clique members compacted for the seed solve
+    clique_seed_min_size: int = 4  # below this the seed is discarded
+
     # --- algorithm-variant switches ----------------------------------------
     # The reference ships the PSULVSB family as separate source files
     # (SURVEY.md §0): registration_best.cc == the canonical algorithm (both

@@ -158,6 +158,24 @@ def psulvsb_register(
             ),
             first_time=~gror_ok,
         )
+    if params.clique_init and not params.estimate_scaling:
+        # Clique-seeded warm start (solver/psulvsb.py::_clique_seed_stage):
+        # greedy clique over the reduced-set consistency graph + chain-TIM
+        # decoupled solve, adopted when the clique has >= clique_seed_min_size
+        # members. Composes with gror_init: a successful clique seed wins
+        # (it is built from this pair's own consistency graph).
+        from psulvsb_tpu.solver.psulvsb import _clique_seed_stage
+
+        key, k_seed = jax.random.split(key)
+        sw, seed_ok = _clique_seed_stage(
+            ori_src, ori_dst, red_i0, red_j0, red_pool0, params, k_seed
+        )
+        warm0 = WarmState(
+            scale=jnp.where(seed_ok, sw.scale, warm0.scale),
+            rotation=jnp.where(seed_ok, sw.rotation, warm0.rotation),
+            translation=jnp.where(seed_ok, sw.translation, warm0.translation),
+            first_time=warm0.first_time & ~seed_ok,
+        )
 
     init = _RoundCarry(
         key=key,

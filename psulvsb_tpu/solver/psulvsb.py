@@ -460,6 +460,74 @@ def _init_stage(
 
 
 # =============================================================================
+# Stage 1b (optional): clique-seeded warm start
+# =============================================================================
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _clique_seed_stage(
+    ori_src: jax.Array,
+    ori_dst: jax.Array,
+    red_i: jax.Array,
+    red_j: jax.Array,
+    red_pool: jax.Array,
+    params: SolverParams,
+    key: jax.Array,
+):
+    """Greedy clique over the reduced-set consistency graph + one chain-TIM
+    decoupled solve over the clique points, producing a WarmState seed
+    (params.clique_init; see config.py for the rationale).
+
+    Documented divergence from the reference: no such stage exists there —
+    at known scale rotation consumes all basic TIMs (registration.cc:984-991)
+    and the clique (registration.cc:1000-1056) feeds only the translation
+    point set. This stage reuses the clique idea upstream TEASER applies
+    (clique -> chain TIMs -> rotation, the solver/classic.py order) on the
+    already-compacted reduced set, so it costs one (C, C) adjacency scatter
+    and a ~clique_cap-sized decoupled solve per run.
+
+    Returns (WarmState with first_time = ~ok, ok () bool).
+    """
+    c = ori_src.shape[1]
+    cap = params.clique_cap
+    dtype = ori_src.dtype
+
+    slot_ok = jnp.arange(red_i.shape[0]) < red_pool
+    adj = jnp.zeros((c, c), bool)
+    adj = adj.at[red_i, red_j].max(slot_ok)
+    adj = adj.at[red_j, red_i].max(slot_ok)
+    clique = greedy_clique(adj)
+    m = jnp.minimum(jnp.sum(clique, dtype=jnp.int32), cap)
+
+    # Compact clique member indices to (cap,) (cumsum compaction; members
+    # beyond the cap are dropped — the chain then spans the first cap).
+    pos = jnp.cumsum(clique.astype(jnp.int32)) - 1
+    write = jnp.where(clique & (pos < cap), pos, cap)
+    cq = (
+        jnp.zeros((cap + 1,), jnp.int32)
+        .at[write]
+        .set(jnp.arange(c, dtype=jnp.int32), mode="drop")[:cap]
+    )
+    # Chain TIMs with wrap-around over the clique points (upstream CHAIN
+    # graph, the solver/classic.py rotation TIM set).
+    nxt = (jnp.arange(cap) + 1) % jnp.maximum(m, 1)
+    tim_active = jnp.arange(cap) < m
+
+    res = basic_step(
+        ori_src, ori_dst, cq, cq[nxt], tim_active, params, key,
+        WarmState.initial(dtype),
+    )
+    ok = m >= params.clique_seed_min_size
+    warm = WarmState(
+        scale=jnp.where(ok, res.scale, jnp.ones((), dtype)),
+        rotation=jnp.where(ok, res.rotation, jnp.eye(3, dtype=dtype)),
+        translation=jnp.where(ok, res.translation, jnp.zeros((3,), dtype)),
+        first_time=~ok,
+    )
+    return warm, ok
+
+
+# =============================================================================
 # Stage 2: sample the L-sampled set for one host round
 # =============================================================================
 
@@ -1300,6 +1368,14 @@ def psulvsb_solve(
                 first_time=jnp.zeros((), bool),
             )
             gror_used = True
+    if params.clique_init and not params.estimate_scaling and not gror_used:
+        key, k_seed = jax.random.split(key)
+        warm_seed, seed_ok = timed(
+            "clique_seed", _clique_seed_stage,
+            ori_src, ori_dst, red_i, red_j, red_pool, params, k_seed,
+        )
+        if bool(seed_ok):
+            warm = warm_seed
     rate_idx = 0
     longholi = False
     best_sampled = warm

@@ -1,0 +1,163 @@
+"""Batched/sharded dataset-sweep harness (eval/batch_harness.py) and the
+clique-seeded warm start (solver/psulvsb.py::_clique_seed_stage)."""
+
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psulvsb_tpu.core.metrics import angular_error_deg
+from psulvsb_tpu.eval.batch_harness import run_benchmark_batched, run_scene_batched
+from psulvsb_tpu.eval.make_dataset import write_scene
+from psulvsb_tpu.eval.realdata import SuccessCriteria, run_scene
+from psulvsb_tpu.eval.synthetic import synthetic_cloud, make_synthetic_pair
+from psulvsb_tpu.solver.config import SolverParams
+from psulvsb_tpu.solver.fused import psulvsb_register
+from psulvsb_tpu.solver.psulvsb import _clique_seed_stage, _init_stage
+
+
+PARAMS = SolverParams.preset_3dmatch(
+    estimate_scaling=False, sampled_cap=1024, basic_cap=512, hypothesis_batch=8
+)
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bh_scene"))
+    write_scene(root, n_pairs=3, n_corr=500, outlier_rates=(0.7, 0.85, 0.9), seed=3)
+    return root
+
+
+class TestBatchedScene:
+    def test_recall_and_stats(self, scene):
+        stats = run_scene_batched(
+            scene, os.path.join(scene, "pairs.txt"), PARAMS,
+            SuccessCriteria.threedmatch(), os.path.join(scene, "o.csv"),
+            ddtime=2,
+        )
+        assert stats["pairs"] == 3
+        assert stats["recall"] == 1.0
+        assert stats["timing"] == "amortized-batch"
+        assert stats["pairs_per_s"] > 0
+        assert os.path.exists(os.path.join(scene, "o.csv"))
+
+    def test_sharded_matches_serial_path(self, scene):
+        """The sharded mesh path must produce the same per-pair successes as
+        the single-device batch (identical keys -> identical programs)."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs the virtual multi-device CPU mesh")
+        a = run_scene_batched(
+            scene, os.path.join(scene, "pairs.txt"), PARAMS,
+            SuccessCriteria.threedmatch(), os.path.join(scene, "a.csv"),
+            ddtime=2, sharded=False,
+        )
+        b = run_scene_batched(
+            scene, os.path.join(scene, "pairs.txt"), PARAMS,
+            SuccessCriteria.threedmatch(), os.path.join(scene, "b.csv"),
+            ddtime=2, sharded=True,
+        )
+        assert b["sharded"] is True
+        assert a["recall"] == b["recall"]
+        assert a["avg_angle_error_deg"] == pytest.approx(
+            b["avg_angle_error_deg"], abs=1e-5
+        )
+
+    def test_agrees_with_serial_harness(self, scene):
+        """Batched best-of-ddtime reaches the serial harness's recall on the
+        same scene (same success criteria; keys differ only through the
+        shared fold_in schedule)."""
+        serial = run_scene(
+            scene, os.path.join(scene, "pairs.txt"), PARAMS,
+            SuccessCriteria.threedmatch(), os.path.join(scene, "s.csv"),
+            ddtime=2, resume=False,
+        )
+        batched = run_scene_batched(
+            scene, os.path.join(scene, "pairs.txt"), PARAMS,
+            SuccessCriteria.threedmatch(), os.path.join(scene, "t.csv"),
+            ddtime=2,
+        )
+        assert batched["recall"] == serial["recall"] == 1.0
+
+    def test_benchmark_batched_writes_average_csv(self, tmp_path):
+        root = tmp_path / "bench"
+        for s in ("sceneA", "sceneB"):
+            write_scene(
+                str(root / s), n_pairs=2, n_corr=400,
+                outlier_rates=(0.7, 0.8), seed=5,
+            )
+        out = tmp_path / "out"
+        summary = run_benchmark_batched(
+            str(root), str(out), dataset="3dmatch",
+            scenes=["sceneA", "sceneB"], params=PARAMS, ddtime=1,
+        )
+        assert set(summary) == {"sceneA", "sceneB"}
+        assert all(v["recall"] == 1.0 for v in summary.values())
+        assert (out / "Average_3dmatch_fpfh.csv").exists()
+
+
+class TestCliqueSeed:
+    def _pair(self, n=500, rate=0.9):
+        base = jnp.asarray(synthetic_cloud(n, seed=1))
+        return make_synthetic_pair(
+            jax.random.PRNGKey(2), base, noise_bound=0.01, outlier_rate=rate,
+            outlier_mode="mismatch",
+        )
+
+    def test_seed_recovers_transform_known_scale(self):
+        """The greedy clique over the beta-window reduced set + chain-TIM
+        solve lands near the true transform at 90% mismatch outliers."""
+        pair = self._pair()
+        c = pair.src.shape[1]
+        keep = jnp.ones((c,), jnp.int32)
+        params = PARAMS.replace(clique_init=True)
+        red_i, red_j, _cnt, pool = _init_stage(
+            pair.src, pair.dst, keep, params, jax.random.PRNGKey(0)
+        )
+        warm, ok = _clique_seed_stage(
+            pair.src, pair.dst, red_i, red_j, pool, params, jax.random.PRNGKey(1)
+        )
+        assert bool(ok)
+        assert not bool(warm.first_time)
+        assert float(angular_error_deg(pair.transform.rotation, warm.rotation)) < 2.0
+        assert float(
+            jnp.linalg.norm(warm.translation - pair.transform.translation)
+        ) < 0.1
+
+    def test_fused_solve_with_clique_init(self):
+        pair = self._pair()
+        keep = jnp.ones((pair.src.shape[1],), jnp.int32)
+        sol = psulvsb_register(
+            pair.src, pair.dst, keep, jax.random.PRNGKey(0),
+            PARAMS.replace(clique_init=True),
+        )
+        assert bool(sol.valid)
+        assert float(angular_error_deg(pair.transform.rotation, sol.rotation)) < 5.0
+
+    def test_flag_ignored_under_scale_estimation(self):
+        """Under estimate_scaling the loose peak+-1 graph can yield false
+        cliques — the flag must be a no-op there (config.py rationale)."""
+        pair = self._pair()
+        keep = jnp.ones((pair.src.shape[1],), jnp.int32)
+        p_on = PARAMS.replace(estimate_scaling=True, clique_init=True)
+        p_off = PARAMS.replace(estimate_scaling=True, clique_init=False)
+        s_on = psulvsb_register(pair.src, pair.dst, keep, jax.random.PRNGKey(0), p_on)
+        s_off = psulvsb_register(pair.src, pair.dst, keep, jax.random.PRNGKey(0), p_off)
+        np.testing.assert_allclose(
+            np.asarray(s_on.rotation), np.asarray(s_off.rotation), atol=1e-6
+        )
+
+    def test_tiny_clique_not_adopted(self):
+        """Fewer than clique_seed_min_size members -> seed discarded
+        (first_time stays True)."""
+        pair = self._pair()
+        params = PARAMS.replace(clique_init=True, clique_seed_min_size=4)
+        # An empty reduced set yields no clique.
+        r = jnp.zeros((64,), jnp.int32)
+        warm, ok = _clique_seed_stage(
+            pair.src, pair.dst, r, r, jnp.int32(0), params, jax.random.PRNGKey(1)
+        )
+        assert not bool(ok)
+        assert bool(warm.first_time)
