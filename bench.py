@@ -10,18 +10,24 @@ criteria), and prints ONE JSON line:
 Extra fields:
   - batch8_pairs_per_s: one-chip batched throughput (lax.map of fused solves)
   - solve_5000corr_s / rot_err_5000_deg: the BASELINE.md north-star size
-  - realdata_{3dmatch,kitti}_recall/avg_time_s: the real-data harness
-    (eval/realdata.py, success criteria of teaser_cpp_ply_main.cc:424,714)
-    run end-to-end on generated reference-format scenes (eval/make_dataset.py:
-    1500-corr pairs, mismatch outliers 60-95%, hostile rotations)
-  - stage_s_1889 / stage_s_5000: per-stage wall-clock attribution of the
-    staged solver (init / sample / local / host / self_update / finalize),
-    profiled with per-stage device syncs
-  - flops_1889 / mxu_util_pct_1889: XLA cost-analysis FLOPs of the fused
-    program and measured FLOP/s as a % of the chip's bf16 peak — a roofline
+  - realdata_{3dmatch,3dlomatch,kitti}_*: the real-data protocol at
+    reference scale — 8 scenes x 30 pairs x best-of-ddtime=10 per dataset
+    (240 pairs each, the reference's per-dataset scene count and retry
+    count, teaser_cpp_ply_main.cc:244-795) — through the BATCHED harness
+    (eval/batch_harness.py: all solves of a scene in one device program; no
+    decoupled-fallback retry anywhere). `_sweep_pairs_per_s` is the
+    end-to-end harness throughput.
+  - whu_tls_*: the WHU-TLS regime (noise bound 0.15, building scale —
+    registration.cc:35) on a generated scene through the same harness.
+  - stage_wall_s_*: HOST-WALL per-stage attribution of the staged solver
+    (per-stage device syncs serialize host and device — use for relative
+    attribution only).
+  - device_ms_*: scan-amortized DEVICE time (K reps of the op inside one
+    jitted lax.scan with a carry data dependency, divided by K) — the
+    tunnel-RTT-free numbers that reflect actual chip occupancy.
+  - flops_1889 / mxu_util_pct_1889: XLA cost-analysis FLOPs — a roofline
     position, not an achievement claim: the workload is top-k/sort/gather
-    heavy, so low MXU share is expected and the latency numbers are the
-    real story.
+    heavy, so low MXU share is expected; the latency numbers are the story.
 """
 
 import json
@@ -50,6 +56,12 @@ N_CORRS = 1889
 OUTLIER_RATE = 0.9
 # TPU v5e (v5 lite) peak: ~197 TFLOP/s bf16 / ~98.5 TFLOP/s fp32 MXU.
 PEAK_FLOPS_BF16 = 197e12
+
+# Caps swept on-device (2026-08-17): (4096, 1024, 16) dominates
+# (4096, 2048, 32) ~2x at equal accuracy — basic_cap 1024 engages the
+# whole-GNC Pallas kernel and avoids padding the ~600-900-TIM basic sets.
+CAPS = dict(sampled_cap=4096, basic_cap=1024, hypothesis_batch=16)
+REALDATA_CAPS = dict(sampled_cap=2048, basic_cap=1024, hypothesis_batch=16)
 
 
 def measure_batched_throughput(params, n_pairs: int = 8) -> float:
@@ -84,9 +96,10 @@ def measure_batched_throughput(params, n_pairs: int = 8) -> float:
 
 
 def stage_breakdown(pair, keep, params) -> dict:
-    """Per-stage attribution via the staged solver with profile syncs.
-    First call warms per-stage compiles; per-stage min over two measured
-    runs drops stray lazily-compiled branches and tunnel hiccups."""
+    """Host-wall per-stage attribution via the staged solver with profile
+    syncs. The syncs serialize host and device, so these are RELATIVE
+    attribution numbers, not device time (see device_ms_* for that).
+    Per-stage min over two runs drops tunnel hiccups."""
     psulvsb_solve(pair.src, pair.dst, keep, params, jax.random.PRNGKey(3),
                   profile=True)
     out: dict = {}
@@ -98,71 +111,187 @@ def stage_breakdown(pair, keep, params) -> dict:
     return {k: round(v, 4) for k, v in out.items()}
 
 
-def fused_cost_analysis(pair, keep, params):
-    """XLA-estimated FLOPs of the fused program (None if unavailable)."""
-    try:
-        compiled = (
-            jax.jit(psulvsb_register, static_argnames=("params",))
-            .lower(pair.src, pair.dst, keep, jax.random.PRNGKey(0), params)
-            .compile()
-        )
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
-    except Exception:
-        return None
+def device_ms_fused(pair, keep, params, k: int = 12) -> float:
+    """Scan-amortized device time of one fused solve (ms): K solves inside
+    ONE jitted lax.scan with a carry data dependency (carry perturbs the
+    input by 1e-9, each solve's scale feeds the carry), synced by a scalar
+    readback, divided by K. Removes the ~25 ms/dispatch tunnel RTT that
+    dominates wall-clock timings of single dispatches."""
+
+    @jax.jit
+    def scan_solve(src, dst, keep, key):
+        def body(carry, i):
+            s = psulvsb_register(
+                src + carry * 1e-9, dst, keep, jax.random.fold_in(key, i), params
+            )
+            return carry + s.scale * 1e-20, None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(k))
+        return c
+
+    import numpy as np
+
+    _ = np.asarray(scan_solve(pair.src, pair.dst, keep, jax.random.PRNGKey(0)))
+    best = float("inf")
+    for i in (1, 2):
+        t0 = time.perf_counter()
+        _ = np.asarray(scan_solve(pair.src, pair.dst, keep, jax.random.PRNGKey(i)))
+        best = min(best, time.perf_counter() - t0)
+    return round(best / k * 1000.0, 2)
 
 
-def realdata_recall(dataset: str, n_pairs: int, n_corr: int, ddtime: int) -> dict:
-    """Generate a reference-format scene and run the real-data harness on
-    it end-to-end (evaluate_pair best-of-ddtime, success criteria, recall)."""
-    from psulvsb_tpu.eval.make_dataset import write_scene
-    from psulvsb_tpu.eval.realdata import run_scene, SuccessCriteria
+def device_ms_stages(pair, keep, params, k: int = 12) -> dict:
+    """Scan-amortized device time per solver stage (ms): each stage is
+    scanned K times with a carry perturbation on a float input and a
+    carry contribution from its output, so XLA cannot hoist or elide the
+    repeated work. Inputs are the stage's actual inputs from one real
+    staged solve pass."""
+    import numpy as np
 
-    root = f"/tmp/psulvsb_bench_{dataset}"
-    shutil.rmtree(root, ignore_errors=True)
-    if dataset == "kitti":
-        write_scene(root, n_pairs=n_pairs, n_corr=n_corr, seed=1,
-                    noise_bound=0.1, scene_scale=20.0, max_translation=10.0)
-        params = SolverParams.preset_kitti(
-            sampled_cap=2048, basic_cap=1024, hypothesis_batch=16
-        )
-        criteria = SuccessCriteria.kitti()
-    elif dataset == "3dlomatch":
-        # Low-overlap regime: 85-98% mismatch outliers (the 3DLoMatch
-        # protocol's hostile end; the reference uses the same solver +
-        # criteria for both 3DMatch splits, teaser_cpp_ply_main.cc:424).
-        write_scene(root, n_pairs=n_pairs, n_corr=n_corr, seed=2,
-                    outlier_rates=(0.85, 0.9, 0.93, 0.95, 0.97, 0.98))
-        params = SolverParams.preset_3dmatch(
-            sampled_cap=2048, basic_cap=1024, hypothesis_batch=16
-        )
-        criteria = SuccessCriteria.threedmatch()
-    else:
-        write_scene(root, n_pairs=n_pairs, n_corr=n_corr, seed=0)
-        params = SolverParams.preset_3dmatch(
-            sampled_cap=2048, basic_cap=1024, hypothesis_batch=16
-        )
-        criteria = SuccessCriteria.threedmatch()
-    return run_scene(
-        root, os.path.join(root, "pairs.txt"), params, criteria,
-        os.path.join(root, "out.csv"), ddtime=ddtime, resume=False,
-        decoupled_fallback=(dataset == "3dlomatch"),
+    from psulvsb_tpu.solver.basic import WarmState
+    from psulvsb_tpu.solver.config import RATE_SCHEDULE
+    from psulvsb_tpu.solver.psulvsb import (
+        HostState,
+        _finalize_stage,
+        _host_stage,
+        _init_stage,
+        _local_stage,
+        _sample_stage,
     )
+
+    src, dst = pair.src, pair.dst
+    c = src.shape[1]
+    dtype = src.dtype
+    key = jax.random.PRNGKey(0)
+    l_rate, b_rate = RATE_SCHEDULE[0]
+
+    # One eager pass to produce representative stage inputs.
+    red_i, red_j, red_count, pool = _init_stage(src, dst, keep, params, key)
+    n_red = int(jnp.sum(keep == 1))
+    thr = jnp.asarray(params.pr_noise * (1.0 + n_red / c), dtype)
+    s_i, s_j, s_ok, s_count, s_pts = _sample_stage(
+        red_i, red_j, red_count, pool, jnp.asarray(l_rate, dtype), params, key, c
+    )
+    hs = HostState.initial(c, keep, dtype)
+    warm = WarmState.initial(dtype)
+    local = _local_stage(
+        src, dst, s_i, s_j, s_ok, s_count, s_pts, jnp.asarray(b_rate, dtype),
+        jnp.asarray(False), hs.host_r, warm, thr, params, key,
+    )
+    hs2, _nc, _tk = _host_stage(
+        src, dst, hs, local.best, local.local_r, jnp.asarray(False), thr,
+        params, key,
+    )
+
+    def scan_of(fn, out_leaf):
+        @jax.jit
+        def scanned(src_in, key_in):
+            def body(carry, i):
+                out = fn(src_in + carry * 1e-9, jax.random.fold_in(key_in, i))
+                return carry + out_leaf(out) * 1e-20, None
+
+            cc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(k))
+            return cc
+
+        _ = np.asarray(scanned(src, key))  # compile + warm
+        best = float("inf")
+        for i in (1, 2):
+            t0 = time.perf_counter()
+            _ = np.asarray(scanned(src, jax.random.PRNGKey(i)))
+            best = min(best, time.perf_counter() - t0)
+        return round(best / k * 1000.0, 2)
+
+    out = {}
+    out["init"] = scan_of(
+        lambda s, kk: _init_stage(s, dst, keep, params, kk),
+        lambda o: o[2].astype(jnp.float32),
+    )
+    out["sample"] = scan_of(
+        lambda s, kk: _sample_stage(
+            red_i, red_j, red_count, pool,
+            jnp.asarray(l_rate, dtype) + s[0, 0] * 1e-12, params, kk, c,
+        ),
+        lambda o: o[3].astype(jnp.float32),
+    )
+    out["local"] = scan_of(
+        lambda s, kk: _local_stage(
+            s, dst, s_i, s_j, s_ok, s_count, s_pts, jnp.asarray(b_rate, dtype),
+            jnp.asarray(False), hs.host_r, warm, thr, params, kk,
+        ),
+        lambda o: o.best.scale,
+    )
+    out["host"] = scan_of(
+        lambda s, kk: _host_stage(
+            s, dst, hs, local.best, local.local_r, jnp.asarray(False), thr,
+            params, kk,
+        ),
+        lambda o: o[0].best.scale,
+    )
+    out["finalize"] = scan_of(
+        lambda s, kk: _finalize_stage(s, dst, hs2, local.best),
+        lambda o: o[0][0, 0],
+    )
+    return out
+
+
+def realdata_benchmark(
+    dataset: str,
+    n_scenes: int = 8,
+    n_pairs: int = 30,
+    n_corr: int = 1500,
+    ddtime: int = 10,
+) -> dict:
+    """Reference-scale real-data protocol through the batched harness:
+    n_scenes x n_pairs pairs, best-of-ddtime, per-dataset success criteria
+    (teaser_cpp_ply_main.cc:424, :714). No fallback retries of any kind —
+    every solve is the plain fused PSULVSB program. Returns aggregate
+    fields weighted over all scenes."""
+    from psulvsb_tpu.eval.batch_harness import run_benchmark_batched
+    from psulvsb_tpu.eval.make_dataset import write_benchmark
+
+    root = f"/tmp/psulvsb_bench_{dataset}_r3"
+    out_dir = os.path.join(root, "_results")
+    shutil.rmtree(root, ignore_errors=True)
+    scenes = [f"scene{i}" for i in range(n_scenes)]
+    write_benchmark(
+        root, scenes, dataset=dataset, n_pairs=n_pairs, n_corr=n_corr, seed=11
+    )
+
+    if dataset == "kitti":
+        params = SolverParams.preset_kitti(estimate_scaling=False, **REALDATA_CAPS)
+    elif dataset == "whu_tls":
+        params = SolverParams.preset_whu_tls(estimate_scaling=False, **REALDATA_CAPS)
+    else:
+        params = SolverParams.preset_3dmatch(estimate_scaling=False, **REALDATA_CAPS)
+
+    t0 = time.monotonic()
+    summary = run_benchmark_batched(
+        root, out_dir, dataset=dataset, scenes=scenes, params=params,
+        ddtime=ddtime,
+    )
+    wall = time.monotonic() - t0
+    total = sum(s["pairs"] for s in summary.values())
+    succ = sum(round(s["recall"] * s["pairs"]) for s in summary.values())
+    n_s = max(len(summary), 1)
+    return {
+        "pairs": total,
+        "ddtime": ddtime,
+        "recall": round(succ / max(total, 1), 4),
+        "avg_time_s": round(
+            sum(s["avg_time_s"] for s in summary.values()) / n_s, 4
+        ),
+        "avg_rot_err_deg": round(
+            sum(s["avg_angle_error_deg"] for s in summary.values()) / n_s, 4
+        ),
+        "sweep_pairs_per_s": round(total * ddtime / wall, 2) if wall > 0 else 0.0,
+        "sweep_wall_s": round(wall, 1),
+    }
 
 
 def main():
     n_repeat = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 
-    # Caps swept on-device (2026-08-17): (4096, 1024, 16) dominates
-    # (4096, 2048, 32) at both 1889 and 5000 corrs (47.6/50.4 ms vs
-    # 69.2/110.3 ms wall, identical accuracy) — basic_cap 1024 engages the
-    # whole-GNC Pallas kernel and avoids padding the ~600-900-TIM basic
-    # sets, and batch 16 ends local rounds sooner than 32 at equal quality.
-    params = SolverParams.preset_artificial(
-        sampled_cap=4096, basic_cap=1024, hypothesis_batch=16
-    )
+    params = SolverParams.preset_artificial(**CAPS)
     src = jnp.asarray(synthetic_cloud(N_CORRS, seed=0))
     pair = make_synthetic_pair(
         jax.random.PRNGKey(1), src, noise_bound=0.05, outlier_rate=OUTLIER_RATE
@@ -212,53 +341,67 @@ def main():
         t5.append(time.perf_counter() - t0)
     re5 = float(angular_error_deg(pair5.transform.rotation, s5.rotation))
 
-    # Per-stage attribution (VERDICT r1 #5) at both sizes.
+    # Device-time attribution (scan-amortized; VERDICT r2 #6).
+    dev_ms_1889 = device_ms_fused(pair, keep, params)
+    dev_ms_5000 = device_ms_fused(pair5, keep5, params)
+    dev_stage_1889 = device_ms_stages(pair, keep, params)
+
+    # Host-wall per-stage attribution (relative only; see docstring).
     stage_1889 = stage_breakdown(pair, keep, params)
     stage_5000 = stage_breakdown(pair5, keep5, params)
 
     # Roofline position of the fused program.
-    flops = fused_cost_analysis(pair, keep, params)
+    flops = None
+    try:
+        compiled = (
+            jax.jit(psulvsb_register, static_argnames=("params",))
+            .lower(pair.src, pair.dst, keep, jax.random.PRNGKey(0), params)
+            .compile()
+        )
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
     mxu_util = (
         round(100.0 * flops / best / PEAK_FLOPS_BF16, 3) if flops else None
     )
 
-    # Real-data harness recall (VERDICT r1 #4) — the reference's benchmark
-    # protocol end-to-end on generated reference-format scenes.
-    rd3 = realdata_recall("3dmatch", n_pairs=6, n_corr=1500, ddtime=3)
-    rdl = realdata_recall("3dlomatch", n_pairs=6, n_corr=1500, ddtime=3)
-    rdk = realdata_recall("kitti", n_pairs=4, n_corr=1500, ddtime=3)
+    # Reference-scale real-data protocol (VERDICT r2 #1): 240 pairs/dataset,
+    # best-of-10, batched harness, no fallback retries.
+    rd3 = realdata_benchmark("3dmatch")
+    rdl = realdata_benchmark("3dlomatch")
+    rdk = realdata_benchmark("kitti")
+    # WHU-TLS regime (VERDICT r2 #8): building scale, noise bound 0.15.
+    whu = realdata_benchmark("whu_tls", n_scenes=2, n_pairs=12, ddtime=5)
 
-    print(
-        json.dumps(
-            {
-                "metric": "bunny_1889corr_90pct_outliers_solve_time",
-                "value": round(best, 4),
-                "unit": "s",
-                "vs_baseline": round(BASELINE_S / best, 2),
-                "median_s": round(times[len(times) // 2], 4),
-                "batch8_pairs_per_s": round(throughput, 2),
-                "solve_5000corr_s": round(min(t5), 4),
-                "rot_err_5000_deg": round(re5, 4),
-                "correct": ok,
-                "rot_err_deg": round(re, 4),
-                "trans_err": round(te, 4),
-                "realdata_3dmatch_recall": round(rd3["recall"], 4),
-                "realdata_3dmatch_avg_time_s": round(rd3["avg_time_s"], 4),
-                "realdata_3dmatch_avg_rot_err_deg": round(
-                    rd3["avg_angle_error_deg"], 4
-                ),
-                "realdata_3dlomatch_recall": round(rdl["recall"], 4),
-                "realdata_3dlomatch_avg_time_s": round(rdl["avg_time_s"], 4),
-                "realdata_kitti_recall": round(rdk["recall"], 4),
-                "realdata_kitti_avg_time_s": round(rdk["avg_time_s"], 4),
-                "stage_s_1889": stage_1889,
-                "stage_s_5000": stage_5000,
-                "fused_flops_1889": flops,
-                "mxu_util_pct_1889": mxu_util,
-                "device": str(jax.devices()[0]),
-            }
-        )
-    )
+    out = {
+        "metric": "bunny_1889corr_90pct_outliers_solve_time",
+        "value": round(best, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / best, 2),
+        "median_s": round(times[len(times) // 2], 4),
+        "batch8_pairs_per_s": round(throughput, 2),
+        "solve_5000corr_s": round(min(t5), 4),
+        "rot_err_5000_deg": round(re5, 4),
+        "correct": ok,
+        "rot_err_deg": round(re, 4),
+        "trans_err": round(te, 4),
+        "device_ms_solve_1889": dev_ms_1889,
+        "device_ms_solve_5000": dev_ms_5000,
+        "device_ms_stage_1889": dev_stage_1889,
+        "stage_wall_s_1889": stage_1889,
+        "stage_wall_s_5000": stage_5000,
+        "fused_flops_1889": flops,
+        "mxu_util_pct_1889": mxu_util,
+        "device": str(jax.devices()[0]),
+    }
+    for name, rd in (("3dmatch", rd3), ("3dlomatch", rdl), ("kitti", rdk),
+                     ("whu_tls", whu)):
+        for k2, v in rd.items():
+            out[f"realdata_{name}_{k2}"] = v
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -65,26 +65,64 @@ def _prefilter_batch(src_b: jax.Array, dst_b: jax.Array, valid_b: jax.Array):
     return jax.vmap(one)(src_b, dst_b, valid_b)
 
 
-def _solve_batch(src_b, dst_b, keep_b, keys, params, mesh=None):
-    """Dispatch the (B, ...) solve batch: sharded over the mesh when given
-    (batch padded to a multiple of the mesh size with repeats of pair 0;
-    padding results are dropped by the caller via the returned count)."""
-    b = src_b.shape[0]
-    if mesh is None or mesh.size <= 1:
-        return register_batch(src_b, dst_b, keep_b, keys, params), b
+# Solve batches run in fixed-size chunks so ONE compiled program (per pad
+# bucket x params) serves every scene and dataset — a shape-per-scene batch
+# would recompile per scene and the compile would land inside the timed
+# sweep. 64 divides evenly over any power-of-two mesh.
+CHUNK = 64
+_WARMED: set = set()
 
-    n_dev = mesh.size
-    padded = -(-b // n_dev) * n_dev
-    if padded != b:
-        reps = padded - b
-        src_b = jnp.concatenate([src_b, jnp.repeat(src_b[:1], reps, axis=0)])
-        dst_b = jnp.concatenate([dst_b, jnp.repeat(dst_b[:1], reps, axis=0)])
-        keep_b = jnp.concatenate([keep_b, jnp.repeat(keep_b[:1], reps, axis=0)])
-        keys = jnp.concatenate([keys, jnp.repeat(keys[:1], reps, axis=0)])
-    sols, _totals = register_batch_sharded(
-        mesh, src_b, dst_b, keep_b, keys, params
+
+def _chunk_pad(arrs, chunk):
+    b = arrs[0].shape[0]
+    padded = -(-b // chunk) * chunk
+    if padded == b:
+        return arrs, b
+    reps = padded - b
+    return [
+        jnp.concatenate([a, jnp.repeat(a[:1], reps, axis=0)]) for a in arrs
+    ], b
+
+
+def _solve_batch(src_b, dst_b, keep_b, keys, params, mesh=None, chunk=CHUNK):
+    """Dispatch the (B, ...) solve batch in fixed-size chunks (padded with
+    repeats of entry 0; padding results dropped via the returned count).
+    Sharded over the mesh when given."""
+    if mesh is not None and mesh.size > 1:
+        chunk = -(-chunk // mesh.size) * mesh.size
+    (src_b, dst_b, keep_b, keys), b = _chunk_pad(
+        [src_b, dst_b, keep_b, keys], chunk
     )
-    return sols, b
+    outs = []
+    for lo in range(0, src_b.shape[0], chunk):
+        sl = slice(lo, lo + chunk)
+        if mesh is None or mesh.size <= 1:
+            outs.append(
+                register_batch(src_b[sl], dst_b[sl], keep_b[sl], keys[sl], params)
+            )
+        else:
+            sols, _totals = register_batch_sharded(
+                mesh, src_b[sl], dst_b[sl], keep_b[sl], keys[sl], params
+            )
+            outs.append(sols)
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs), b
+
+
+def _warm_chunk(src0, dst0, keep0, key0, params, mesh, chunk=CHUNK):
+    """Compile + one dispatch of the chunk-shaped program (untimed; the C++
+    reference has no compile step)."""
+    if mesh is not None and mesh.size > 1:
+        chunk = -(-chunk // mesh.size) * mesh.size
+    wk = (src0.shape[-1], params, None if mesh is None else mesh.size, chunk)
+    if wk in _WARMED:
+        return
+    rep = lambda a: jnp.repeat(a[None], chunk, axis=0)
+    sols, _ = _solve_batch(
+        rep(src0), rep(dst0), rep(keep0),
+        jnp.repeat(key0[None], chunk, axis=0), params, mesh, chunk,
+    )
+    _ = float(sols.scale[0])
+    _WARMED.add(wk)
 
 
 def run_scene_batched(
@@ -169,15 +207,9 @@ def run_scene_batched(
             ]
         )
 
-        # Warm-up (compile) dispatch excluded from the timed wall clock —
-        # the C++ reference has no compile step (realdata.py:112-115).
-        _warm, _ = _solve_batch(
-            src_flat[:1], dst_flat[:1], keep_flat[:1], keys[:1], params, None
+        _warm_chunk(
+            src_flat[0], dst_flat[0], keep_flat[0], keys[0], params, mesh
         )
-        _ = float(_warm.scale[0])
-        if mesh is not None:
-            w, _ = _solve_batch(src_flat, dst_flat, keep_flat, keys, params, mesh)
-            _ = float(w.scale[0])
 
         t0 = time.monotonic()
         sols, n_flat = _solve_batch(src_flat, dst_flat, keep_flat, keys, params, mesh)

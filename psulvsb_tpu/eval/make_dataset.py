@@ -94,16 +94,26 @@ def write_benchmark(
     n_pairs: int = 6,
     n_corr: int = 1500,
     seed: int = 0,
+    outlier_rates: tuple[float, ...] | None = None,
 ) -> None:
     """Write a multi-scene benchmark tree under data_root.
 
     dataset presets follow the reference's per-dataset regimes: 3DMatch
-    (room scale ~ meters, noise bound 0.01), KITTI (outdoor scale, noise
-    bound 0.1, translations up to ~10 m — teaser_cpp_ply_main.cc:700-720)."""
+    (room scale ~ meters, noise bound 0.01), 3DLoMatch (same rooms, low
+    overlap -> 85-98% mismatch outliers), KITTI (outdoor scale, noise bound
+    0.1, translations up to ~10 m — teaser_cpp_ply_main.cc:700-720),
+    WHU-TLS (building-scale terrestrial scans, noise bound 0.15 —
+    registration.cc:35's commented preset)."""
     if dataset == "kitti":
         kw = dict(noise_bound=0.1, scene_scale=20.0, max_translation=10.0)
+    elif dataset == "whu_tls":
+        kw = dict(noise_bound=0.15, scene_scale=30.0, max_translation=15.0)
     else:
         kw = dict(noise_bound=0.01, scene_scale=1.0, max_translation=2.0)
+    if dataset == "3dlomatch" and outlier_rates is None:
+        outlier_rates = (0.85, 0.9, 0.93, 0.95, 0.97, 0.98)
+    if outlier_rates is not None:
+        kw["outlier_rates"] = outlier_rates
     for si, scene in enumerate(scenes):
         write_scene(
             os.path.join(data_root, scene),

@@ -193,6 +193,103 @@ def pair_ratio_histogram(
     )
 
 
+def _beta_count_kernel(
+    src_rows, dst_rows, src_cols, dst_cols, act_rows, act_cols,
+    beta_ref,  # (1, 1) SMEM f32
+    count_ref,  # (1, 1) VMEM out f32 — accumulated across the grid
+    *,
+    t_block: int,
+    c_block: int,
+):
+    """Count pairs i < j with | ||src_j-src_i|| - ||dst_j-dst_i|| | <= beta —
+    the known-scale reduced-set membership test (registration.cc:753-767) —
+    over one (T, Cc) tile. Same tiling/layout as _hist_kernel."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _init():
+        count_ref[:] = jnp.zeros_like(count_ref)
+
+    t, cc = t_block, c_block
+    tile_live = (i * t) < ((j + 1) * cc - 1)
+
+    @pl.when(tile_live)
+    def _body():
+        def pair_dist2(rows, cols):
+            rn = jnp.sum(rows * rows, axis=1, keepdims=True)
+            cn = jnp.sum(cols * cols, axis=1, keepdims=True)
+            cross = jnp.dot(
+                rows, cols.T,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return jnp.maximum(rn + cn.T - 2.0 * cross, 0.0)
+
+        v1 = jnp.sqrt(pair_dist2(src_rows[:], src_cols[:]))
+        v2 = jnp.sqrt(pair_dist2(dst_rows[:], dst_cols[:]))
+        row_g = i * t + jax.lax.broadcasted_iota(jnp.int32, (t, cc), 0)
+        col_g = j * cc + jax.lax.broadcasted_iota(jnp.int32, (t, cc), 1)
+        valid = (row_g < col_g).astype(jnp.float32) * act_rows[:] * act_cols[:].T
+        member = jnp.where(
+            jnp.abs(v1 - v2) <= beta_ref[0, 0], valid, 0.0
+        )
+        count_ref[0, 0] += jnp.sum(member)
+
+
+@functools.partial(jax.jit, static_argnames=("t_block", "c_block", "interpret"))
+def _pair_beta_count_impl(src_t, dst_t, act, beta, t_block, c_block, interpret):
+    c = src_t.shape[0]
+    kernel = functools.partial(
+        _beta_count_kernel, t_block=t_block, c_block=c_block
+    )
+    count = pl.pallas_call(
+        kernel,
+        grid=(c // t_block, c // c_block),
+        in_specs=[
+            pl.BlockSpec((t_block, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_block, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_block, 3), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_block, 3), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_block, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_block, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        interpret=interpret,
+    )(src_t, dst_t, src_t, dst_t, act, act, beta)
+    return count[0, 0].astype(jnp.int32)
+
+
+def pair_beta_count(
+    src: jax.Array,
+    dst: jax.Array,
+    beta: jax.Array | float,
+    active: jax.Array | None = None,
+    t_block: int = 16,
+    c_block: int = 512,
+) -> jax.Array:
+    """EXACT count of active pairs i < j passing the known-scale beta window
+    | ||src_j-src_i|| - ||dst_j-dst_i|| | <= beta (registration.cc:753-767),
+    with O(C) HBM traffic — the known-scale analog of pair_ratio_histogram,
+    giving `init_mode="auto"` an exact |reduced| beyond dense_init_max_c.
+
+    src/dst: (3, C). Returns () int32.
+
+    Numerics: tile distances come from the ||a||^2+||b||^2-2ab MXU
+    decomposition (HIGHEST precision) — ~1e-3 relative shifts vs the direct
+    (a-b) form can flip razor-edge window membership of individual pairs
+    (same property as the dense init, solver/psulvsb.py::_init_stage_dense).
+    """
+    src_t, dst_t, act = _prep(src, dst, active, max(t_block, c_block))
+    beta_arr = jnp.full((1, 1), beta, jnp.float32)
+    interpret = jax.default_backend() != "tpu"
+    return _pair_beta_count_impl(
+        src_t, dst_t, act, beta_arr, t_block, c_block, interpret
+    )
+
+
 def exact_peak_bin(
     src: jax.Array,
     dst: jax.Array,

@@ -156,11 +156,15 @@ class SolverParams:
     #   reduced pool rejection-sampled against it; falls back to the
     #   subsample estimate when the out-of-window certificate fails.
     #   estimate_scaling only (known scale has no histogram).
+    # - "exact_beta": exact known-scale |reduced| via the tiled Pallas
+    #   beta-window count kernel (ops/pallas_hist.py::pair_beta_count —
+    #   O(C) HBM), reduced pool rejection-sampled. Known scale only.
     # - "sampled": estimate the peak from a pair subsample and
     #   rejection-sample the reduced set (uniform over the reduced set).
-    # - "auto": "dense" up to dense_init_max_c, else "exact_hist"
-    #   (estimate_scaling, TPU backend only — interpret-mode Pallas costs
-    #   seconds per call on CPU) / "sampled".
+    # - "auto": "dense" up to dense_init_max_c, else on the TPU backend
+    #   "exact_hist" (estimate_scaling) / "exact_beta" (known scale);
+    #   "sampled" elsewhere (interpret-mode Pallas costs seconds per call
+    #   on CPU).
     init_mode: str = "auto"
     # Largest C the dense init materializes (C, C) f32 matrices for
     # (~1.1 GB HBM at 8192; beyond that auto switches to O(C) modes).

@@ -262,6 +262,37 @@ def _init_stage_exact_hist(
     return red_i, red_j, red_count, pool
 
 
+def _init_stage_exact_beta(
+    ori_src: jax.Array,
+    ori_dst: jax.Array,
+    keep_mask: jax.Array,
+    params: SolverParams,
+    key: jax.Array,
+):
+    """Large-C KNOWN-SCALE init with the EXACT reduced-set size: the tiled
+    Pallas pair-grid kernel (ops/pallas_hist.py::pair_beta_count) sweeps all
+    C(C-1)/2 pairs' beta-window tests with O(C) HBM traffic, so red_count
+    (which drives the floor(|reduced| * rate) sample-size rule) is exact —
+    the known-scale analog of _init_stage_exact_hist, closing the gap where
+    init beyond dense_init_max_c previously fell back to the estimated
+    count (VERDICT r2 #5). The membership test itself is already exact per
+    pair (registration.cc:753-767); the pool is rejection-sampled (uniform
+    over the reduced set) as in the sampled mode."""
+    from psulvsb_tpu.ops.pallas_hist import pair_beta_count
+
+    c = ori_src.shape[1]
+    n_l = c * (c - 1) // 2
+    active = keep_mask == 1
+    k1, k2 = jax.random.split(key)
+    beta = 2.0 * params.noise_bound * np.sqrt(params.cbar2)
+    red_exact = pair_beta_count(ori_src, ori_dst, beta, active)
+    red_i, red_j, _red_est, pool = _fill_reduced_pool(
+        ori_src, ori_dst, active, jnp.int32(0), n_l, params, k2
+    )
+    red_count = jnp.minimum(red_exact, params.reduced_cap)
+    return red_i, red_j, red_count, pool
+
+
 def _init_stage_dense(
     ori_src: jax.Array,
     ori_dst: jax.Array,
@@ -402,18 +433,25 @@ def _init_stage(
     if mode == "auto":
         if c <= params.dense_init_max_c:
             mode = "dense"  # exact membership, MXU distance matrices
-        elif params.estimate_scaling and jax.default_backend() == "tpu":
+        elif jax.default_backend() != "tpu":
+            # Interpret-mode Pallas costs seconds per call on CPU —
+            # subsample (the window test stays exact per pair at known
+            # scale; only red_count is estimated).
+            mode = "sampled"
+        elif params.estimate_scaling:
             mode = "exact_hist"  # exact Pallas peak, sampled pool
         else:
-            # Known scale: the window test is already exact. Non-TPU:
-            # interpret-mode Pallas costs seconds per call — subsample.
-            mode = "sampled"
+            mode = "exact_beta"  # exact Pallas |reduced|, sampled pool
     if mode == "exact_hist" and not params.estimate_scaling:
         mode = "sampled"  # no histogram in the known-scale branch
+    if mode == "exact_beta" and params.estimate_scaling:
+        mode = "sampled"  # the beta window is the known-scale test
     if mode == "sampled":
         return _init_stage_sampled(ori_src, ori_dst, keep_mask, params, key)
     if mode == "exact_hist":
         return _init_stage_exact_hist(ori_src, ori_dst, keep_mask, params, key)
+    if mode == "exact_beta":
+        return _init_stage_exact_beta(ori_src, ori_dst, keep_mask, params, key)
     if mode == "dense":
         return _init_stage_dense(ori_src, ori_dst, keep_mask, params, key)
     r_cap = params.reduced_cap
@@ -936,7 +974,9 @@ def _local_stage(
         # pro_local = 1 (registration.cc:1261-1282). Its local_r bump is
         # host_r + 1 if it is the first hypothesis of the round, else 1.
         sim_any = jnp.any(sims)
-        sim_t = jnp.argmax(sims)
+        # int32 pins: under x64 argmax returns int64, which would widen the
+        # int32 loop-carry counters below and break the while_loop contract.
+        sim_t = jnp.argmax(sims).astype(jnp.int32)
 
         stagn_t = (local_r_t >= params.local_max_iter) & (
             pro_t <= params.stagnation_min_pro_local
@@ -945,7 +985,9 @@ def _local_stage(
         conf_t = pro_t > params.local_confidence
         stop_t_mask = conf_t | stagn_t
         stop_any = jnp.any(stop_t_mask)
-        stop_t = jnp.where(stop_any, jnp.argmax(stop_t_mask), batch - 1)
+        stop_t = jnp.where(
+            stop_any, jnp.argmax(stop_t_mask), batch - 1
+        ).astype(jnp.int32)
 
         # The effective cut: earliest of early-accept and stop.
         cut = jnp.where(sim_any & (sim_t <= stop_t), sim_t, stop_t)
@@ -954,7 +996,7 @@ def _local_stage(
         # Winner among hypotheses [0..cut]: first max of counts vs baseline.
         in_win = t_idx <= cut
         cmask = jnp.where(in_win, counts, jnp.int32(-2147483648))
-        best_h = jnp.argmax(cmask)
+        best_h = jnp.argmax(cmask).astype(jnp.int32)
         batch_best_count = cmask[best_h]
         take_batch = (batch_best_count > baseline) | first_time
 

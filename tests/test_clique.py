@@ -2,6 +2,7 @@
 clique on crafted graphs, solver modes)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -156,3 +157,70 @@ class TestNativeExact:
         )
         assert len(calls) > 0, "exact-clique host callback never invoked"
         assert all(shape == (64, 64) for shape in calls)
+
+
+class TestGreedyVsExact:
+    """Data backing the 'greedy ~= exact on scale-consistency graphs' claim
+    (VERDICT r2 #7; the jitted solver's default replaces the reference's
+    exact PMC call at the escalated round, graph.cc:84-124): sweep hostile
+    synthetic pairs, compare clique sizes and the downstream rotation."""
+
+    def _consistency_graph(self, seed, n=300, rate=0.9):
+        import numpy as np
+
+        from psulvsb_tpu.eval.synthetic import synthetic_cloud, make_synthetic_pair
+
+        base = jnp.asarray(synthetic_cloud(n, seed=seed))
+        pair = make_synthetic_pair(
+            jax.random.PRNGKey(seed), base, noise_bound=0.01,
+            outlier_rate=rate, outlier_mode="mismatch",
+        )
+        src = np.asarray(pair.src)
+        dst = np.asarray(pair.dst)
+        iu, ju = np.triu_indices(n, 1)
+        v1 = np.linalg.norm(src[:, ju] - src[:, iu], axis=0)
+        v2 = np.linalg.norm(dst[:, ju] - dst[:, iu], axis=0)
+        edge = np.abs(v1 - v2) <= 0.02  # beta at user noise bound
+        adj = np.zeros((n, n), bool)
+        adj[iu[edge], ju[edge]] = True
+        adj[ju[edge], iu[edge]] = True
+        return adj, pair
+
+    def test_greedy_close_to_exact_on_hostile_pairs(self):
+        """Across seeds x outlier rates: the greedy clique reaches >= 90% of
+        the exact clique size, and the rotation solved over greedy-clique
+        chain TIMs matches the exact-clique rotation within 1 degree.
+        (Observed on this sweep: size ratios 0.96-1.0.)"""
+        import numpy as np
+
+        from psulvsb_tpu.clique.kcore import greedy_clique
+        from psulvsb_tpu.clique.pmc import exact_max_clique, native_available
+        from psulvsb_tpu.core.metrics import angular_error_deg
+        from psulvsb_tpu.rotation.gnc import gnc_tls_rotation
+
+        if not native_available():
+            pytest.skip("native exact clique unavailable")
+
+        ratios = []
+        for seed, rate in [(1, 0.9), (2, 0.93), (3, 0.95), (4, 0.97)]:
+            adj, pair = self._consistency_graph(seed, rate=rate)
+            exact = exact_max_clique(adj, time_limit_s=30.0)
+            greedy = np.nonzero(np.asarray(greedy_clique(jnp.asarray(adj))))[0]
+            assert len(exact) >= 4, "fixture degenerate"
+            ratio = len(greedy) / len(exact)
+            ratios.append(ratio)
+            assert ratio >= 0.9, (seed, rate, len(greedy), len(exact))
+
+            def chain_rot(members):
+                m = np.asarray(sorted(members))
+                nxt = m[(np.arange(len(m)) + 1) % len(m)]
+                s_t = pair.src[:, nxt] - pair.src[:, m]
+                d_t = pair.dst[:, nxt] - pair.dst[:, m]
+                return gnc_tls_rotation(s_t, d_t, 0.02).rotation
+
+            err = float(
+                angular_error_deg(chain_rot(exact), chain_rot(list(greedy)))
+            )
+            assert err < 1.0, (seed, rate, err)
+        # The sweep's aggregate: greedy is a near-exact stand-in here.
+        assert sum(ratios) / len(ratios) >= 0.95

@@ -279,3 +279,68 @@ class TestCertificateGuards:
         re = float(angular_error_deg(pair.transform.rotation, sol.rotation))
         assert re < 5.0, re
         assert abs(float(sol.scale) / scale - 1.0) < 0.1
+
+
+class TestPairBetaCount:
+    """Known-scale beta-window count kernel (pair_beta_count; VERDICT r2 #5:
+    exact |reduced| beyond dense_init_max_c). Interpret mode on CPU."""
+
+    def test_matches_direct_sweep(self):
+        from psulvsb_tpu.ops.pallas_hist import pair_beta_count
+
+        n = 160
+        rng = np.random.default_rng(3)
+        src = jnp.asarray(rng.normal(size=(3, n)).astype(np.float32))
+        r = jnp.asarray(
+            np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+        )
+        dst = r @ src + 0.005 * jnp.asarray(
+            rng.normal(size=(3, n)).astype(np.float32)
+        )
+        # Corrupt half the correspondences.
+        dst = dst.at[:, n // 2:].set(
+            jnp.asarray(rng.normal(size=(3, n - n // 2)).astype(np.float32))
+        )
+        active = jnp.asarray(rng.random(n) > 0.1)
+        beta = 0.02
+
+        iu, ju = np.triu_indices(n, 1)
+        v1 = np.linalg.norm(np.asarray(src)[:, ju] - np.asarray(src)[:, iu], axis=0)
+        v2 = np.linalg.norm(np.asarray(dst)[:, ju] - np.asarray(dst)[:, iu], axis=0)
+        act = np.asarray(active)
+        expected = int(
+            np.sum((np.abs(v1 - v2) <= beta) & act[iu] & act[ju])
+        )
+        got = int(pair_beta_count(src, dst, beta, active, t_block=8, c_block=32))
+        # The MXU distance decomposition can flip razor-edge memberships
+        # (documented); on this fixture the boundary density is ~0.1%.
+        assert abs(got - expected) <= max(2, expected // 200), (got, expected)
+
+    def test_init_stage_exact_beta_count(self):
+        """_init_stage(init_mode='exact_beta') returns the exact known-scale
+        |reduced| where the sampled mode only estimates it."""
+        from psulvsb_tpu.eval.synthetic import synthetic_cloud, make_synthetic_pair
+        from psulvsb_tpu.solver.config import SolverParams
+        from psulvsb_tpu.solver.psulvsb import _init_stage
+
+        n = 192
+        src = jnp.asarray(synthetic_cloud(n, seed=2))
+        pair = make_synthetic_pair(
+            jax.random.PRNGKey(1), src, noise_bound=0.01, outlier_rate=0.8,
+            outlier_mode="mismatch",
+        )
+        keep = jnp.ones((n,), jnp.int32)
+        p_beta = SolverParams.preset_3dmatch(
+            estimate_scaling=False, init_mode="exact_beta"
+        )
+        p_exact = SolverParams.preset_3dmatch(
+            estimate_scaling=False, init_mode="exact"
+        )
+        _, _, cnt_beta, pool_beta = _init_stage(
+            pair.src, pair.dst, keep, p_beta, jax.random.PRNGKey(0)
+        )
+        _, _, cnt_exact, _ = _init_stage(
+            pair.src, pair.dst, keep, p_exact, jax.random.PRNGKey(0)
+        )
+        assert abs(int(cnt_beta) - int(cnt_exact)) <= max(2, int(cnt_exact) // 200)
+        assert int(pool_beta) > 0
