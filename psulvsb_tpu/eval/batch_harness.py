@@ -303,9 +303,12 @@ def run_benchmark_batched(
         )
         # estimate_scaling = unknownScale (main.cc:319).
         params = params.replace(estimate_scaling=unknown_scale)
-    criteria = (
-        SuccessCriteria.kitti() if dataset == "kitti" else SuccessCriteria.threedmatch()
-    )
+    if dataset == "kitti":
+        criteria = SuccessCriteria.kitti()
+    elif dataset == "whu_tls":
+        criteria = SuccessCriteria.whu_tls()
+    else:
+        criteria = SuccessCriteria.threedmatch()
     if scenes is None:
         scenes = (
             THREEDMATCH_SCENES

@@ -54,17 +54,25 @@ def write_scene(
     base = np.asarray(synthetic_cloud(n_corr, seed=seed)) * scene_scale
     labels = []
     gt_log_blocks = []
+    # Generation is many tiny ops; pinned to the host CPU device so a
+    # TPU-tunnel session doesn't pay ~seconds of RTT per pair (measured
+    # 5.75 s/pair through the axon tunnel vs ~ms on host).
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
     for i in range(n_pairs):
         a, b = i, i + 1
         rate = outlier_rates[i % len(outlier_rates)]
-        pair = make_synthetic_pair(
-            jax.random.PRNGKey(seed * 1000 + i),
-            jnp.asarray(base, jnp.float32),
-            noise_bound=noise_bound,
-            outlier_rate=rate,
-            max_translation=max_translation,
-            outlier_mode="mismatch",
-        )
+        with jax.default_device(cpu):
+            pair = make_synthetic_pair(
+                jax.random.PRNGKey(seed * 1000 + i),
+                jnp.asarray(base, jnp.float32),
+                noise_bound=noise_bound,
+                outlier_rate=rate,
+                max_translation=max_translation,
+                outlier_mode="mismatch",
+            )
         src = np.asarray(pair.src, np.float64)
         dst = np.asarray(pair.dst, np.float64)
         gt = _gt_matrix(

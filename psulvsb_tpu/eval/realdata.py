@@ -61,6 +61,14 @@ class SuccessCriteria(NamedTuple):
     def kitti() -> "SuccessCriteria":
         return SuccessCriteria(0.1, 5.0, 0.6, 60.0)  # main.cc:714
 
+    @staticmethod
+    def whu_tls() -> "SuccessCriteria":
+        """No reference criteria exist for the WHU-TLS regime (the reference
+        ships only the commented noise-bound preset, registration.cc:35);
+        derived from KITTI's ratios scaled to noise bound 0.15: trans
+        0.6 * 0.15/0.1 = 0.9 m at the same 5 deg angle gate."""
+        return SuccessCriteria(0.1, 5.0, 0.9, 60.0)
+
 
 def read_corr_file(path: str) -> tuple[np.ndarray, np.ndarray]:
     """'sx sy sz tx ty tz' per line -> ((3, C) src, (3, C) dst)."""
@@ -346,9 +354,12 @@ def run_benchmark(
         # the standard runs solve at known scale via the beta-window reduced
         # set (registration.cc:753-767).
         params = params.replace(estimate_scaling=unknown_scale)
-    criteria = (
-        SuccessCriteria.kitti() if dataset == "kitti" else SuccessCriteria.threedmatch()
-    )
+    if dataset == "kitti":
+        criteria = SuccessCriteria.kitti()
+    elif dataset == "whu_tls":
+        criteria = SuccessCriteria.whu_tls()
+    else:
+        criteria = SuccessCriteria.threedmatch()
     if scenes is None:
         scenes = (
             THREEDMATCH_SCENES
