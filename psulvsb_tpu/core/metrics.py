@@ -25,6 +25,21 @@ def angular_error_deg(r_exp: jax.Array, r_est: jax.Array) -> jax.Array:
     return angular_error_rad(r_exp, r_est) * (180.0 / jnp.pi)
 
 
+def angular_error_deg_np(r_exp, r_est) -> float:
+    """Host-only (numpy, f64) geodesic rotation error in degrees.
+
+    The eval harnesses score thousands of (pair, retry) results per sweep;
+    a jnp call per result costs a device dispatch each (~25 ms RTT through
+    a remote-TPU tunnel — ~60 s over a 2400-solve dataset sweep). Scoring
+    is host-side bookkeeping, not solver compute, so it stays on the host."""
+    import numpy as np
+
+    a = np.asarray(r_exp, np.float64)
+    b = np.asarray(r_est, np.float64)
+    c = (np.trace(a.T @ b) - 1.0) / 2.0
+    return float(abs(np.arccos(min(1.0, max(-1.0, c)))) * (180.0 / np.pi))
+
+
 def translation_error(t_exp: jax.Array, t_est: jax.Array) -> jax.Array:
     return jnp.linalg.norm(t_exp - t_est)
 

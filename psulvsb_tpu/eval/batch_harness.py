@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from psulvsb_tpu.core.metrics import angular_error_deg
+from psulvsb_tpu.core.metrics import angular_error_deg_np
 from psulvsb_tpu.eval.realdata import (
     PairResult,
     SuccessCriteria,
@@ -151,21 +151,31 @@ def run_scene_batched(
 
     mesh = make_pair_mesh() if sharded and len(jax.devices()) > 1 else None
 
-    # Load + bucket all pairs.
-    loaded = []  # (tag, src, dst, gt, test_scale, bucket)
+    # Load + bucket all pairs. Per-pair keys (and the unknown-scale test
+    # factors) derive in ONE vmapped dispatch — a fold_in per pair/retry
+    # would cost a device round-trip each (~25 ms RTT on a remote tunnel).
     base_key = jax.random.PRNGKey(seed)
-    for a, b in pairs:
+    salts = jnp.asarray([a * 100003 + b for a, b in pairs], jnp.int32)
+    pair_keys = jax.vmap(lambda s: jax.random.fold_in(base_key, s))(salts)
+    if unknown_scale:
+        test_scales = np.asarray(
+            1.0
+            + 4.0
+            * jax.vmap(
+                lambda k: jax.random.uniform(jax.random.fold_in(k, 7))
+            )(pair_keys)
+        )
+    else:
+        test_scales = np.ones((len(pairs),))
+
+    loaded = []  # (tag, src, dst, gt, test_scale, key, bucket)
+    for n, (a, b) in enumerate(pairs):
         stem = os.path.join(scene_dir, f"cloud_bin_{a}+cloud_bin_{b}")
         src, dst = read_corr_file(stem + suffix)
         gt = read_gt_mat(stem + gt_suffix)
-        key = jax.random.fold_in(base_key, a * 100003 + b)
-        test_scale = 1.0
-        if unknown_scale:
-            test_scale = 1.0 + 4.0 * float(
-                jax.random.uniform(jax.random.fold_in(key, 7))
-            )
+        test_scale = float(test_scales[n])
         loaded.append(
-            (f"{a}+{b}", src, dst * test_scale, gt, test_scale, key,
+            (f"{a}+{b}", src, dst * test_scale, gt, test_scale, pair_keys[n],
              pad_to_bucket(src.shape[1]))
         )
 
@@ -179,8 +189,9 @@ def run_scene_batched(
         dst_b = jnp.asarray(
             np.stack([pad_columns(np.asarray(r[2], np.float32), bucket) for r in group])
         )
-        valid_b = jnp.stack(
-            [jnp.arange(bucket) < r[1].shape[1] for r in group]
+        valid_b = jnp.asarray(
+            np.arange(bucket)[None, :]
+            < np.asarray([r[1].shape[1] for r in group])[:, None]
         )
         raw_keep = jnp.where(valid_b, 1, -2).astype(jnp.int32)
         if use_prefilter:
@@ -200,11 +211,9 @@ def run_scene_batched(
         )
         src_flat = src_b[idx]
         dst_flat = dst_b[idx]
-        keys = jnp.stack(
-            [
-                jax.random.fold_in(group[p][5], t)
-                for p, t in zip(idx.tolist(), retry.tolist())
-            ]
+        group_keys = jnp.stack([rec[5] for rec in group])
+        keys = jax.vmap(jax.random.fold_in)(
+            group_keys[idx], jnp.asarray(retry, jnp.uint32)
         )
 
         _warm_chunk(
@@ -233,7 +242,7 @@ def run_scene_batched(
                 )
                 res = PairResult(
                     scale_error=abs(s - test_scale),
-                    angle_error_deg=float(angular_error_deg(gt[:3, :3], r)),
+                    angle_error_deg=angular_error_deg_np(gt[:3, :3], r),
                     trans_error=float(
                         np.linalg.norm(tr * s / test_scale - gt[:3, 3])
                     ),

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from psulvsb_tpu.core.metrics import angular_error_deg
+from psulvsb_tpu.core.metrics import angular_error_deg_np
 from psulvsb_tpu.utils.precision import mm
 from psulvsb_tpu.eval.pipeline import solve_with_prefilter
 from psulvsb_tpu.eval.reporting import write_csv, mean_std
@@ -50,7 +50,7 @@ def run_trial(
 
     gt = pair.transform
     scale_err = abs(float(sol.scale) - float(gt.scale))
-    angle_err = float(angular_error_deg(gt.rotation, sol.rotation))
+    angle_err = angular_error_deg_np(gt.rotation, sol.rotation)
     trans_err = float(jnp.linalg.norm(sol.translation - gt.translation))
     # RMSE vs the noiseless ground-truth placement over ALL points
     # (PSULVSB.cc computes it against src_gt = T * src).

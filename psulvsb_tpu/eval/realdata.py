@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from psulvsb_tpu.core.metrics import angular_error_deg
+from psulvsb_tpu.core.metrics import angular_error_deg_np
 from psulvsb_tpu.utils.precision import mm
 from psulvsb_tpu.eval.pipeline import pad_bucket, solve_with_prefilter
 from psulvsb_tpu.eval.reporting import write_csv, mean_std
@@ -199,7 +199,7 @@ def evaluate_pair(
         )
         r = PairResult(
             scale_error=abs(float(sol.scale) - test_scale),
-            angle_error_deg=float(angular_error_deg(gt_r, sol.rotation)),
+            angle_error_deg=angular_error_deg_np(gt_r, sol.rotation),
             trans_error=float(
                 jnp.linalg.norm(sol.translation * sol.scale / test_scale - gt_t)
             ),
@@ -231,7 +231,7 @@ def evaluate_pair(
         )
         r = PairResult(
             scale_error=abs(float(dsol.scale) - test_scale),
-            angle_error_deg=float(angular_error_deg(gt_r, dsol.rotation)),
+            angle_error_deg=angular_error_deg_np(gt_r, dsol.rotation),
             trans_error=float(
                 jnp.linalg.norm(dsol.translation / test_scale - gt_t)
             ),

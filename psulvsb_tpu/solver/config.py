@@ -114,7 +114,7 @@ class SolverParams:
     gror_resolution: float = 0.1  # cloud resolution; thresholds are 2x this
     gror_k_optimal: int = 800  # registration_artificial.cc:536
 
-    # --- clique-seeded warm start (TPU-native addition, off by default) ----
+    # --- clique-seeded warm start (TPU-native addition) --------------------
     # The faithful known-scale path feeds ALL basic TIMs to GNC
     # (registration.cc:984-991), which plateaus at >= 97% mismatch outliers;
     # the reference's harness escapes only via its 60 s budget. The compacted
@@ -130,7 +130,15 @@ class SolverParams:
     # while the peak+-1 ratio graph is loose enough that greedy cliques of
     # coincidental outliers can poison the seed (measured: RE 161 deg at 97%
     # mismatch outliers with scale estimation on).
-    clique_init: bool = False
+    #
+    # Modes: "auto" (default) runs the seed LAZILY — inside the round loop,
+    # once, on the first stagnation-escalation signal — so easy pairs never
+    # pay its (C, C) adjacency + greedy-clique cost (measured on a v5e at
+    # C=1500: eager costs +10 ms/solve at 90% outliers; lazy is free there
+    # and rescues every measured 98%-outlier failure, recall 0.975 -> 1.0 on
+    # the 240-pair 3DLoMatch protocol). "eager" seeds before round 0
+    # (bool True accepted as an alias); "off"/False disables.
+    clique_init: str | bool = "auto"
     clique_cap: int = 256  # max clique members compacted for the seed solve
     clique_seed_min_size: int = 4  # below this the seed is discarded
 
@@ -231,6 +239,25 @@ class SolverParams:
     def pr_noise(self) -> float:
         """PrNoise = 2 * dataset noise bound (registration.cc:36)."""
         return 2.0 * self.noise_bound_dataset
+
+    @property
+    def clique_eager(self) -> bool:
+        """Seed before round 0 (clique_init="eager"; True is an alias)."""
+        self._check_clique_init()
+        return self.clique_init in (True, "eager")
+
+    @property
+    def clique_lazy(self) -> bool:
+        """Seed once, in-loop, on the first escalation (clique_init="auto")."""
+        self._check_clique_init()
+        return self.clique_init == "auto"
+
+    def _check_clique_init(self) -> None:
+        if self.clique_init not in (True, False, "eager", "auto", "off"):
+            raise ValueError(
+                f"clique_init must be 'auto'|'eager'|'off' (or a bool), "
+                f"got {self.clique_init!r}"
+            )
 
     def resolve_inlier_selection(self) -> InlierSelectionMode:
         """Deprecated-field handling (registration.cc:628-637)."""

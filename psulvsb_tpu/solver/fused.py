@@ -50,6 +50,7 @@ class _RoundCarry(NamedTuple):
     longholi: jax.Array  # () bool
     done: jax.Array  # () bool
     rounds: jax.Array  # () int32
+    seeded: jax.Array  # () bool — lazy clique seed already ran
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -79,9 +80,14 @@ def psulvsb_register(
     b_rates = jnp.asarray([r[1] for r in RATE_SCHEDULE], dtype)
     last_rate = len(RATE_SCHEDULE) - 1
 
+    lazy_clique = params.clique_lazy and not params.estimate_scaling
+
     def round_body(carry: _RoundCarry, _):
         def run(carry: _RoundCarry) -> _RoundCarry:
             key, k_samp, k_local, k_host = jax.random.split(carry.key, 4)
+            # Derived (not split) so the per-round streams match the staged
+            # solver's 4-way split exactly (parity tests compare the two).
+            k_seed = jax.random.fold_in(k_host, 0x5EED)
             l_rate = l_rates[carry.rate_idx]
             b_rate = b_rates[carry.rate_idx]
             b_one = carry.rate_idx == last_rate
@@ -119,6 +125,33 @@ def psulvsb_register(
                 ),
                 lambda: (carry.red_i, carry.red_j, carry.red_count, carry.red_pool),
             )
+            seeded = carry.seeded
+            if lazy_clique:
+                # Lazy clique-seeded warm start (config.py clique_init="auto"):
+                # run the (C, C) adjacency + greedy-clique + chain-TIM seed
+                # ONLY when this round escalated the rate ladder (stagnation
+                # at >= 97% mismatch outliers) and only once. Inside lax.cond
+                # the untaken branch does not execute, so converging pairs
+                # never pay the seed's device time.
+                from psulvsb_tpu.solver.psulvsb import _clique_seed_stage
+
+                want = local.escalate & ~carry.seeded & ~stop
+
+                def run_seed(w):
+                    sw, seed_ok = _clique_seed_stage(
+                        ori_src, ori_dst, red_i, red_j, red_pool, params, k_seed
+                    )
+                    return WarmState(
+                        scale=jnp.where(seed_ok, sw.scale, w.scale),
+                        rotation=jnp.where(seed_ok, sw.rotation, w.rotation),
+                        translation=jnp.where(
+                            seed_ok, sw.translation, w.translation
+                        ),
+                        first_time=w.first_time & ~seed_ok,
+                    )
+
+                warm = jax.lax.cond(want, run_seed, lambda w: w, warm)
+                seeded = carry.seeded | want
             return _RoundCarry(
                 key=key,
                 hs=hs,
@@ -132,6 +165,7 @@ def psulvsb_register(
                 longholi=longholi,
                 done=stop,
                 rounds=carry.rounds + 1,
+                seeded=seeded,
             )
 
         carry = jax.lax.cond(carry.done, lambda c_: c_, run, carry)
@@ -158,8 +192,10 @@ def psulvsb_register(
             ),
             first_time=~gror_ok,
         )
-    if params.clique_init and not params.estimate_scaling:
-        # Clique-seeded warm start (solver/psulvsb.py::_clique_seed_stage):
+    if params.clique_eager and not params.estimate_scaling:
+        # Eager clique-seeded warm start (solver/psulvsb.py::
+        # _clique_seed_stage; clique_init="auto" instead defers the seed to
+        # the first escalation inside the round loop below):
         # greedy clique over the reduced-set consistency graph + chain-TIM
         # decoupled solve, adopted when the clique has >= clique_seed_min_size
         # members. Composes with gror_init: a successful clique seed wins
@@ -190,6 +226,7 @@ def psulvsb_register(
         longholi=jnp.zeros((), bool),
         done=jnp.zeros((), bool),
         rounds=jnp.int32(0),
+        seeded=jnp.zeros((), bool),
     )
     final, _ = jax.lax.scan(round_body, init, None, length=params.max_host_rounds)
 

@@ -1410,7 +1410,7 @@ def psulvsb_solve(
                 first_time=jnp.zeros((), bool),
             )
             gror_used = True
-    if params.clique_init and not params.estimate_scaling and not gror_used:
+    if params.clique_eager and not params.estimate_scaling and not gror_used:
         key, k_seed = jax.random.split(key)
         warm_seed, seed_ok = timed(
             "clique_seed", _clique_seed_stage,
@@ -1418,6 +1418,8 @@ def psulvsb_solve(
         )
         if bool(seed_ok):
             warm = warm_seed
+    lazy_clique = params.clique_lazy and not params.estimate_scaling
+    clique_seeded = False
     rate_idx = 0
     longholi = False
     best_sampled = warm
@@ -1488,6 +1490,20 @@ def psulvsb_solve(
                 "self_update", _self_update_pairs,
                 red_i, red_j, red_count, red_pool, new_corr, hs.inl_kept, params,
             )
+
+        # Lazy clique-seeded warm start (config.py clique_init="auto"): on
+        # the first stagnation-escalation, once, over the post-self-update
+        # reduced set — mirrors solver/fused.py's in-scan lax.cond exactly
+        # (same derived key, so staged/fused stay in parity).
+        if lazy_clique and not clique_seeded and bool(local.escalate):
+            clique_seeded = True
+            warm_seed, seed_ok = timed(
+                "clique_seed", _clique_seed_stage,
+                ori_src, ori_dst, red_i, red_j, red_pool, params,
+                jax.random.fold_in(k_host, 0x5EED),
+            )
+            if bool(seed_ok):
+                warm = warm_seed
 
     # Final refinement (registration.cc:1499-1528).
     if params.enable_refinement and int(hs.best_count) != 0:
