@@ -15,8 +15,11 @@ teaser_cpp_ply_main.cc:244-795):
   (line 714),
 - per-scene CSVs + average CSV with registration recall.
 
-The reference solves pairs serially; here pairs can also run sharded over a
-device mesh (parallel/pairs.py) when their padded sizes match.
+This module is the SERIAL harness (one solve per device dispatch, faithful
+per-pair wall times, checkpoint/resume). The TPU-native scaling path —
+all (pair, retry) solves of a scene in one device program, optionally
+shard_map'd over a pair mesh — is eval/batch_harness.py, which bench.py
+uses for the reference-scale sweeps.
 """
 
 from __future__ import annotations
