@@ -15,8 +15,9 @@ Extra fields:
     (240 pairs each, the reference's per-dataset scene count and retry
     count, teaser_cpp_ply_main.cc:244-795) — through the BATCHED harness
     (eval/batch_harness.py: all solves of a scene in one device program; no
-    decoupled-fallback retry anywhere). `_sweep_pairs_per_s` is the
-    end-to-end harness throughput.
+    decoupled-fallback retry anywhere). `_sweep_pairs_per_s` is end-to-end
+    pair throughput; `_sweep_solves_per_s` counts every best-of-ddtime
+    retry dispatched (pairs x ddtime / wall).
   - whu_tls_*: the WHU-TLS regime (noise bound 0.15, building scale —
     registration.cc:35) on a generated scene through the same harness.
   - stage_wall_s_*: HOST-WALL per-stage attribution of the staged solver
@@ -300,18 +301,30 @@ def realdata_benchmark(
     wall = time.monotonic() - t0
     total = sum(s["pairs"] for s in summary.values())
     succ = sum(round(s["recall"] * s["pairs"]) for s in summary.values())
-    n_s = max(len(summary), 1)
+    # Success-count-weighted error/time means: per-scene averages are over
+    # that scene's successes only (0.0 when none), so a zero-success scene
+    # must carry zero weight, not dilute the aggregate.
+    w = [round(s["recall"] * s["pairs"]) for s in summary.values()]
+    wsum = max(sum(w), 1)
     return {
         "pairs": total,
         "ddtime": ddtime,
         "recall": round(succ / max(total, 1), 4),
         "avg_time_s": round(
-            sum(s["avg_time_s"] for s in summary.values()) / n_s, 4
+            sum(wi * s["avg_time_s"] for wi, s in zip(w, summary.values()))
+            / wsum, 4
         ),
         "avg_rot_err_deg": round(
-            sum(s["avg_angle_error_deg"] for s in summary.values()) / n_s, 4
+            sum(
+                wi * s["avg_angle_error_deg"]
+                for wi, s in zip(w, summary.values())
+            )
+            / wsum, 4
         ),
-        "sweep_pairs_per_s": round(total * ddtime / wall, 2) if wall > 0 else 0.0,
+        # Distinct conventions, both reported: pairs/s is end-to-end pair
+        # throughput; solves/s counts every best-of-ddtime retry dispatched.
+        "sweep_pairs_per_s": round(total / wall, 2) if wall > 0 else 0.0,
+        "sweep_solves_per_s": round(total * ddtime / wall, 2) if wall > 0 else 0.0,
         "sweep_wall_s": round(wall, 1),
     }
 
@@ -398,7 +411,9 @@ def main():
     except Exception:
         pass
     mxu_util = (
-        round(100.0 * flops / best / PEAK_FLOPS_BF16, 3) if flops else None
+        round(100.0 * flops / (dev_ms_1889 / 1e3) / PEAK_FLOPS_BF16, 3)
+        if flops
+        else None
     )
     hbm_bw_util = (
         round(100.0 * bytes_acc / (dev_ms_1889 / 1e3) / PEAK_HBM_BPS, 2)

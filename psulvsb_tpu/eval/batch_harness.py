@@ -16,9 +16,12 @@ Semantics preserved vs the serial harness (eval/realdata.py:128-242):
 
 Divergence (documented): per-pair wall time cannot be observed inside a
 batched dispatch, so `time_s` is the batch wall clock amortized per pair
-(stats carry `timing = "amortized-batch"`). The 60 s budget criterion is
-checked against that amortized figure — strictly harder than the serial
-number whenever batching is faster.
+(stats carry `timing = "amortized-batch"`). The timed region covers the
+prefilter dispatch, (pair, retry) flattening, the solve batch, and the
+result readback — the same work the serial harness counts per retry
+(pipeline.solve_with_prefilter) minus per-retry prefilter repetition (the
+filter is deterministic, so the batch computes it once per pair). The
+60 s budget criterion is checked against the amortized figure.
 """
 
 from __future__ import annotations
@@ -108,6 +111,16 @@ def _solve_batch(src_b, dst_b, keep_b, keys, params, mesh=None, chunk=CHUNK):
     return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs), b
 
 
+def _warm_prefilter(n: int, c: int) -> None:
+    """Compile + one dispatch of the (n, 3, c) prefilter program (untimed)."""
+    wk = ("prefilter", n, c)
+    if wk in _WARMED:
+        return
+    z = jnp.zeros((n, 3, c), jnp.float32)
+    _ = np.asarray(_prefilter_batch(z, z, jnp.ones((n, c), bool)))
+    _WARMED.add(wk)
+
+
 def _warm_chunk(src0, dst0, keep0, key0, params, mesh, chunk=CHUNK):
     """Compile + one dispatch of the chunk-shaped program (untimed; the C++
     reference has no compile step)."""
@@ -194,6 +207,21 @@ def run_scene_batched(
             < np.asarray([r[1].shape[1] for r in group])[:, None]
         )
         raw_keep = jnp.where(valid_b, 1, -2).astype(jnp.int32)
+        n_g = len(group)
+        group_keys = jnp.stack([rec[5] for rec in group])
+        # Compile warm-up, untimed (the C++ reference has no compile step):
+        # raw-mask inputs are shape-identical to the real flattened batch.
+        if use_prefilter:
+            _warm_prefilter(n_g, bucket)
+        _warm_chunk(
+            src_b[0], dst_b[0], raw_keep[0], group_keys[0], params, mesh
+        )
+
+        # The timed region covers everything the serial harness counts per
+        # retry (eval/pipeline.solve_with_prefilter times normals +
+        # prefilter + solve): prefilter dispatch, (pair, retry) flattening,
+        # the solve batch, and the result readback.
+        t0 = time.monotonic()
         if use_prefilter:
             pre_keep = _prefilter_batch(src_b, dst_b, valid_b)
         else:
@@ -202,7 +230,6 @@ def run_scene_batched(
         # (pair, retry) flattening: retry t of pair p sits at p * ddtime + t.
         # Retries 0..ddtime-2 use the prefilter mask, the last runs raw
         # (eval/realdata.evaluate_pair's per-retry rule).
-        n_g = len(group)
         idx = np.repeat(np.arange(n_g), ddtime)
         retry = np.tile(np.arange(ddtime), n_g)
         use_pre = use_prefilter & ((retry < ddtime - 1) | (ddtime == 1))
@@ -211,16 +238,10 @@ def run_scene_batched(
         )
         src_flat = src_b[idx]
         dst_flat = dst_b[idx]
-        group_keys = jnp.stack([rec[5] for rec in group])
         keys = jax.vmap(jax.random.fold_in)(
             group_keys[idx], jnp.asarray(retry, jnp.uint32)
         )
 
-        _warm_chunk(
-            src_flat[0], dst_flat[0], keep_flat[0], keys[0], params, mesh
-        )
-
-        t0 = time.monotonic()
         sols, n_flat = _solve_batch(src_flat, dst_flat, keep_flat, keys, params, mesh)
         scales = np.asarray(sols.scale)[:n_flat]
         rots = np.asarray(sols.rotation)[:n_flat]
@@ -305,11 +326,12 @@ def run_benchmark_batched(
     from psulvsb_tpu.eval.realdata import THREEDMATCH_SCENES
 
     if params is None:
-        params = (
-            SolverParams.preset_kitti()
-            if dataset == "kitti"
-            else SolverParams.preset_3dmatch()
-        )
+        if dataset == "kitti":
+            params = SolverParams.preset_kitti()
+        elif dataset == "whu_tls":
+            params = SolverParams.preset_whu_tls()
+        else:
+            params = SolverParams.preset_3dmatch()
         # estimate_scaling = unknownScale (main.cc:319).
         params = params.replace(estimate_scaling=unknown_scale)
     if dataset == "kitti":

@@ -347,11 +347,12 @@ def run_benchmark(
     reference: <data_root>/<scene>/ holds the corr/GT files and a
     `pairs.txt` label list."""
     if params is None:
-        params = (
-            SolverParams.preset_kitti()
-            if dataset == "kitti"
-            else SolverParams.preset_3dmatch()
-        )
+        if dataset == "kitti":
+            params = SolverParams.preset_kitti()
+        elif dataset == "whu_tls":
+            params = SolverParams.preset_whu_tls()
+        else:
+            params = SolverParams.preset_3dmatch()
         # The reference driver ties scale estimation to the unknown-scale
         # protocol (params.estimate_scaling = unknownScale, main.cc:319):
         # the standard runs solve at known scale via the beta-window reduced

@@ -1410,7 +1410,11 @@ def psulvsb_solve(
                 first_time=jnp.zeros((), bool),
             )
             gror_used = True
-    if params.clique_eager and not params.estimate_scaling and not gror_used:
+    if params.clique_eager and not params.estimate_scaling:
+        # A successful clique seed wins over GROR (it is built from this
+        # pair's own consistency graph) and the key split is unconditional
+        # — both exactly as in solver/fused.py, so staged/fused parity
+        # holds for every gror_init x clique_init combination.
         key, k_seed = jax.random.split(key)
         warm_seed, seed_ok = timed(
             "clique_seed", _clique_seed_stage,

@@ -97,6 +97,26 @@ class TestBatchedScene:
         assert all(v["recall"] == 1.0 for v in summary.values())
         assert (out / "Average_3dmatch_fpfh.csv").exists()
 
+    def test_whu_tls_default_params_match_regime(self, tmp_path):
+        """dataset='whu_tls' with params=None must solve with the WHU-TLS
+        preset (noise bound 0.15, registration.cc:35), not 3DMatch's 0.01
+        (review r3: criteria and params branches disagreed). Building-scale
+        noise makes 0.01-bound solves fail, so recall 1.0 here proves the
+        preset was picked up."""
+        from psulvsb_tpu.eval.make_dataset import write_scene as ws
+
+        root = tmp_path / "whu"
+        ws(
+            str(root / "s0"), n_pairs=2, n_corr=400, noise_bound=0.15,
+            scene_scale=30.0, max_translation=15.0,
+            outlier_rates=(0.6, 0.7), seed=6,
+        )
+        summary = run_benchmark_batched(
+            str(root), str(tmp_path / "whu_out"), dataset="whu_tls",
+            scenes=["s0"], ddtime=1,
+        )
+        assert summary["s0"]["recall"] == 1.0
+
 
 class TestCliqueSeed:
     def _pair(self, n=500, rate=0.9):
@@ -195,6 +215,25 @@ class TestCliqueSeed:
         s_s, _ = psulvsb_solve(pair.src, pair.dst, keep, p, jax.random.PRNGKey(5))
         np.testing.assert_allclose(
             np.asarray(s_f.rotation), np.asarray(s_s.rotation), atol=1e-5
+        )
+
+    def test_eager_seed_with_gror_staged_fused_parity(self):
+        """Eager clique + GROR compose identically in both drivers: the
+        seed wins over GROR when it lands and the key split is
+        unconditional (review r3: the staged driver used to skip the seed
+        — and its key split — whenever GROR succeeded)."""
+        from psulvsb_tpu.solver.psulvsb import psulvsb_solve
+
+        pair = self._pair(n=400, rate=0.85)
+        keep = jnp.ones((pair.src.shape[1],), jnp.int32)
+        p = PARAMS.replace(clique_init="eager", gror_init=True)
+        s_f = psulvsb_register(pair.src, pair.dst, keep, jax.random.PRNGKey(9), p)
+        s_s, _ = psulvsb_solve(pair.src, pair.dst, keep, p, jax.random.PRNGKey(9))
+        np.testing.assert_allclose(
+            np.asarray(s_f.rotation), np.asarray(s_s.rotation), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_f.translation), np.asarray(s_s.translation), atol=1e-5
         )
 
     def test_invalid_mode_raises(self):
