@@ -31,3 +31,18 @@ def key():
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Work around an in-process jaxlib 0.9.0 CPU-backend crash: after many
+    hundreds of compiled programs accumulate in one process, the NEXT
+    interpret-mode Pallas compile segfaults inside XLA
+    (reproduced deterministically at tests/test_pallas_ops.py::
+    test_matches_dense_reference when run after the 12 preceding test
+    files; each file passes in isolation). Dropping compiled-program
+    caches at module boundaries keeps the per-process executable count
+    bounded. Costs recompiles of the handful of programs shared across
+    modules."""
+    jax.clear_caches()
+    yield
