@@ -61,18 +61,16 @@ PEAK_FLOPS_BF16 = 197e12
 # sort/top-k/gather-heavy workload (MXU share is structurally low).
 PEAK_HBM_BPS = 819e9
 
-# Caps re-swept on-device 2026-08-17 (r3): (2048, 512, 8) measures
-# 15.6 ms @1889 / 15.0 ms @5000 device time vs 25.2 ms for the round-2
-# (4096, 1024, 16) winner, with 0/10 correctness failures at both sizes
-# (worst rotation error 0.21 deg). Smaller basic sets + batches halve the
-# per-round local-stage footprint; the lazy clique seed (clique_init
-# "auto") covers the hostile tail that larger batches used to buy.
-CAPS = dict(sampled_cap=2048, basic_cap=512, hypothesis_batch=8)
-# Real-data caps re-swept 2026-08-17 (C=1500 bucket, known scale, rates
-# 0.85-0.98): basic_cap 512 + hypothesis_batch 8 runs 13-17.5 ms/solve vs
-# 19-33 ms for (1024, 16) with recall still 1.0 over the full 240-pair
-# 3DLoMatch protocol (the lazy clique seed covers the hostile tail).
-REALDATA_CAPS = dict(sampled_cap=2048, basic_cap=512, hypothesis_batch=8)
+# Caps re-swept on-device 2026-08-17 (r3, two passes): (2048, 256, 4)
+# measures 10.5-15.5 ms/solve at the C=1500 bucket vs 25.2 ms for the
+# round-2 (4096, 1024, 16) winner, with 0/10 correctness failures at both
+# headline sizes (worst rotation error 0.22 deg) AND recall 1.0 over the
+# full 240-pair 3DMatch/3DLoMatch/KITTI protocols. Smaller basic sets +
+# hypothesis batches shrink the per-round local-stage footprint; the lazy
+# clique seed (clique_init="auto") covers the hostile tail that larger
+# batches used to buy.
+CAPS = dict(sampled_cap=2048, basic_cap=256, hypothesis_batch=4)
+REALDATA_CAPS = dict(sampled_cap=2048, basic_cap=256, hypothesis_batch=4)
 
 
 def measure_batched_throughput(params, n_pairs: int = 8) -> float:
