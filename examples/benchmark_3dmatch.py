@@ -42,6 +42,8 @@ def main():
                     help="all solves of a scene in one device program")
     ap.add_argument("--sharded", action="store_true",
                     help="with --batched: shard_map over all devices")
+    ap.add_argument("--resume", action="store_true",
+                    help="with --batched: skip scenes whose CSV exists")
     args = ap.parse_args()
 
     if args.batched or args.sharded:
@@ -56,6 +58,7 @@ def main():
             ddtime=args.ddtime,
             unknown_scale=args.unknown_scale,
             sharded=args.sharded,
+            resume=args.resume,
         )
     else:
         summary = run_benchmark(

@@ -308,6 +308,35 @@ def run_scene_batched(
     }
 
 
+def _stats_from_csv(path: str) -> dict | None:
+    """Rebuild a scene's aggregate stats from its per-pair CSV (the
+    scene-granular analog of eval/realdata's per-pair JSONL resume)."""
+    import csv
+
+    try:
+        with open(path) as f:
+            rows = list(csv.DictReader(f))
+    except OSError:
+        return None
+    if not rows:
+        return None
+    succ = [r for r in rows if r["Success"].strip() in ("1", "1.0")]
+    n_s = max(len(succ), 1)
+    mean = lambda k: sum(float(r[k]) for r in succ) / n_s
+    return {
+        "pairs": len(rows),
+        "recall": len(succ) / len(rows),
+        "avg_scale_error": mean("ScaleError"),
+        "avg_angle_error_deg": mean("AngleError"),
+        "avg_trans_error": mean("TransError"),
+        "avg_rmse": mean("RMSE"),
+        "avg_time_s": mean("Time"),
+        "pairs_per_s": 0.0,
+        "timing": "resumed-csv",
+        "sharded": False,
+    }
+
+
 def run_benchmark_batched(
     data_root: str,
     out_dir: str,
@@ -320,9 +349,13 @@ def run_benchmark_batched(
     seed: int = 0,
     use_prefilter: bool = True,
     sharded: bool = False,
+    resume: bool = False,
 ) -> dict:
     """Dataset sweep through the batched harness (per-scene CSVs + averages
-    CSV, same layout as eval/realdata.run_benchmark)."""
+    CSV, same layout as eval/realdata.run_benchmark). resume=True skips
+    scenes whose per-pair CSV already exists, rebuilding their aggregates
+    from it (scene-granular checkpointing; the serial harness checkpoints
+    per pair via JSONL, realdata.run_scene)."""
     from psulvsb_tpu.eval.realdata import THREEDMATCH_SCENES
 
     if params is None:
@@ -352,19 +385,24 @@ def run_benchmark_batched(
     avg_rows = []
     for scene in scenes:
         scene_dir = os.path.join(data_root, scene)
-        stats = run_scene_batched(
-            scene_dir,
-            os.path.join(scene_dir, "pairs.txt"),
-            params,
-            criteria,
-            os.path.join(out_dir, f"{scene}_{descriptor}_{int(unknown_scale)}.csv"),
-            descriptor=descriptor,
-            ddtime=ddtime,
-            unknown_scale=unknown_scale,
-            seed=seed,
-            use_prefilter=use_prefilter,
-            sharded=sharded,
+        out_csv = os.path.join(
+            out_dir, f"{scene}_{descriptor}_{int(unknown_scale)}.csv"
         )
+        stats = _stats_from_csv(out_csv) if resume else None
+        if stats is None:
+            stats = run_scene_batched(
+                scene_dir,
+                os.path.join(scene_dir, "pairs.txt"),
+                params,
+                criteria,
+                out_csv,
+                descriptor=descriptor,
+                ddtime=ddtime,
+                unknown_scale=unknown_scale,
+                seed=seed,
+                use_prefilter=use_prefilter,
+                sharded=sharded,
+            )
         summary[scene] = stats
         avg_rows.append([scene] + [stats[k] for k in sorted(stats)])
     if summary:

@@ -97,6 +97,33 @@ class TestBatchedScene:
         assert all(v["recall"] == 1.0 for v in summary.values())
         assert (out / "Average_3dmatch_fpfh.csv").exists()
 
+    def test_resume_skips_completed_scenes(self, tmp_path):
+        """resume=True rebuilds aggregates from existing per-scene CSVs
+        without re-solving (CSV mtime unchanged; recall identical)."""
+        root = tmp_path / "bench"
+        write_scene(
+            str(root / "sceneA"), n_pairs=2, n_corr=400,
+            outlier_rates=(0.7, 0.8), seed=5,
+        )
+        out = tmp_path / "out"
+        first = run_benchmark_batched(
+            str(root), str(out), dataset="3dmatch", scenes=["sceneA"],
+            params=PARAMS, ddtime=1,
+        )
+        csv_path = out / "sceneA_fpfh_0.csv"
+        mtime = os.path.getmtime(csv_path)
+        second = run_benchmark_batched(
+            str(root), str(out), dataset="3dmatch", scenes=["sceneA"],
+            params=PARAMS, ddtime=1, resume=True,
+        )
+        assert os.path.getmtime(csv_path) == mtime
+        assert second["sceneA"]["timing"] == "resumed-csv"
+        assert second["sceneA"]["recall"] == first["sceneA"]["recall"]
+        assert second["sceneA"]["pairs"] == first["sceneA"]["pairs"]
+        assert abs(
+            second["sceneA"]["avg_rmse"] - first["sceneA"]["avg_rmse"]
+        ) < 1e-9
+
     def test_whu_tls_default_params_match_regime(self, tmp_path):
         """dataset='whu_tls' with params=None must solve with the WHU-TLS
         preset (noise bound 0.15, registration.cc:35), not 3DMatch's 0.01
