@@ -294,7 +294,7 @@ def run_scene_batched(
     res_list = list(results.values())
     succ = [r for r in res_list if r.success]
     n_s = max(len(succ), 1)
-    return {
+    stats = {
         "pairs": len(res_list),
         "recall": len(succ) / max(len(res_list), 1),
         "avg_scale_error": sum(r.scale_error for r in succ) / n_s,
@@ -306,35 +306,61 @@ def run_scene_batched(
         "timing": "amortized-batch",
         "sharded": mesh is not None,
     }
+    # Sidecar for resume: the exact stats plus the protocol fingerprint
+    # (written atomically AFTER the CSV, so a kill mid-scene leaves no meta
+    # and the scene re-runs).
+    import json
+
+    meta_path = out_csv + ".meta.json"
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(
+            {
+                "fingerprint": _scene_fingerprint(
+                    params, ddtime, unknown_scale, descriptor, seed,
+                    use_prefilter, len(pairs),
+                ),
+                "stats": stats,
+            },
+            f,
+        )
+    os.replace(meta_path + ".tmp", meta_path)
+    return stats
 
 
-def _stats_from_csv(path: str) -> dict | None:
-    """Rebuild a scene's aggregate stats from its per-pair CSV (the
-    scene-granular analog of eval/realdata's per-pair JSONL resume)."""
-    import csv
+def _scene_fingerprint(params, ddtime, unknown_scale, descriptor, seed,
+                       use_prefilter, n_pairs) -> dict:
+    """Everything that determines a scene's results; resumed stats are only
+    reused when this matches exactly (a CSV alone cannot prove it was
+    produced by the same protocol — e.g. the serial harness writes the
+    identical filename pattern with possibly different ddtime/params)."""
+    return {
+        "params": repr(params),
+        "ddtime": ddtime,
+        "unknown_scale": unknown_scale,
+        "descriptor": descriptor,
+        "seed": seed,
+        "use_prefilter": use_prefilter,
+        "n_pairs": n_pairs,
+    }
+
+
+def _resume_scene(out_csv: str, fingerprint: dict) -> dict | None:
+    """Load the sidecar stats written by a completed run_scene_batched call;
+    None unless the stored fingerprint matches the requested protocol."""
+    import json
 
     try:
-        with open(path) as f:
-            rows = list(csv.DictReader(f))
-    except OSError:
+        with open(out_csv + ".meta.json") as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
         return None
-    if not rows:
+    if meta.get("fingerprint") != fingerprint or not os.path.exists(out_csv):
         return None
-    succ = [r for r in rows if r["Success"].strip() in ("1", "1.0")]
-    n_s = max(len(succ), 1)
-    mean = lambda k: sum(float(r[k]) for r in succ) / n_s
-    return {
-        "pairs": len(rows),
-        "recall": len(succ) / len(rows),
-        "avg_scale_error": mean("ScaleError"),
-        "avg_angle_error_deg": mean("AngleError"),
-        "avg_trans_error": mean("TransError"),
-        "avg_rmse": mean("RMSE"),
-        "avg_time_s": mean("Time"),
-        "pairs_per_s": 0.0,
-        "timing": "resumed-csv",
-        "sharded": False,
-    }
+    stats = meta.get("stats")
+    if isinstance(stats, dict):
+        stats = dict(stats)
+        stats["timing"] = "resumed"
+    return stats
 
 
 def run_benchmark_batched(
@@ -353,9 +379,12 @@ def run_benchmark_batched(
 ) -> dict:
     """Dataset sweep through the batched harness (per-scene CSVs + averages
     CSV, same layout as eval/realdata.run_benchmark). resume=True skips
-    scenes whose per-pair CSV already exists, rebuilding their aggregates
-    from it (scene-granular checkpointing; the serial harness checkpoints
-    per pair via JSONL, realdata.run_scene)."""
+    scenes whose sidecar meta (<csv>.meta.json, written atomically on scene
+    completion) matches this run's protocol fingerprint exactly — params,
+    ddtime, seed, prefilter, descriptor, pair count — reusing the stored
+    stats; anything stale, foreign, or truncated re-runs (scene-granular
+    checkpointing; the serial harness checkpoints per pair via JSONL,
+    realdata.run_scene)."""
     from psulvsb_tpu.eval.realdata import THREEDMATCH_SCENES
 
     if params is None:
@@ -388,7 +417,16 @@ def run_benchmark_batched(
         out_csv = os.path.join(
             out_dir, f"{scene}_{descriptor}_{int(unknown_scale)}.csv"
         )
-        stats = _stats_from_csv(out_csv) if resume else None
+        stats = None
+        if resume:
+            stats = _resume_scene(
+                out_csv,
+                _scene_fingerprint(
+                    params, ddtime, unknown_scale, descriptor, seed,
+                    use_prefilter,
+                    len(read_pair_labels(os.path.join(scene_dir, "pairs.txt"))),
+                ),
+            )
         if stats is None:
             stats = run_scene_batched(
                 scene_dir,

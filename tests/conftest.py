@@ -43,6 +43,15 @@ def _clear_jax_caches_per_module():
     files; each file passes in isolation). Dropping compiled-program
     caches at module boundaries keeps the per-process executable count
     bounded. Costs recompiles of the handful of programs shared across
-    modules."""
+    modules.
+
+    The eval harnesses track which programs they already compiled+warmed
+    (module-level _WARMED sets) so recompiles never land inside their
+    timed regions — clearing the compiled caches without clearing those
+    sets would silently put a recompile back into time_s/pairs_per_s."""
     jax.clear_caches()
+    from psulvsb_tpu.eval import batch_harness, realdata
+
+    batch_harness._WARMED.clear()
+    realdata._WARMED.clear()
     yield

@@ -98,8 +98,10 @@ class TestBatchedScene:
         assert (out / "Average_3dmatch_fpfh.csv").exists()
 
     def test_resume_skips_completed_scenes(self, tmp_path):
-        """resume=True rebuilds aggregates from existing per-scene CSVs
-        without re-solving (CSV mtime unchanged; recall identical)."""
+        """resume=True reuses the sidecar stats of a completed scene without
+        re-solving (CSV mtime unchanged; stats identical) — but ONLY when
+        the protocol fingerprint matches: a different ddtime re-runs
+        (review r3: a bare CSV cannot prove which protocol produced it)."""
         root = tmp_path / "bench"
         write_scene(
             str(root / "sceneA"), n_pairs=2, n_corr=400,
@@ -117,12 +119,19 @@ class TestBatchedScene:
             params=PARAMS, ddtime=1, resume=True,
         )
         assert os.path.getmtime(csv_path) == mtime
-        assert second["sceneA"]["timing"] == "resumed-csv"
+        assert second["sceneA"]["timing"] == "resumed"
         assert second["sceneA"]["recall"] == first["sceneA"]["recall"]
         assert second["sceneA"]["pairs"] == first["sceneA"]["pairs"]
         assert abs(
             second["sceneA"]["avg_rmse"] - first["sceneA"]["avg_rmse"]
         ) < 1e-9
+        # Fingerprint mismatch (ddtime=2) must NOT reuse the stale scene.
+        third = run_benchmark_batched(
+            str(root), str(out), dataset="3dmatch", scenes=["sceneA"],
+            params=PARAMS, ddtime=2, resume=True,
+        )
+        assert third["sceneA"]["timing"] == "amortized-batch"
+        assert os.path.getmtime(csv_path) != mtime
 
     def test_whu_tls_default_params_match_regime(self, tmp_path):
         """dataset='whu_tls' with params=None must solve with the WHU-TLS
