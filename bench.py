@@ -20,6 +20,9 @@ Extra fields:
     retry dispatched (pairs x ddtime / wall).
   - whu_tls_*: the WHU-TLS regime (noise bound 0.15, building scale —
     registration.cc:35) on a generated scene through the same harness.
+  - realdata_3dmatch_unkscale_*: the reference's unknownScale mode
+    (teaser_cpp_ply_main.cc:319) — random test scale in [1, 5) per pair,
+    estimate_scaling=True, success additionally needs scale err <= 0.1.
   - stage_wall_s_*: HOST-WALL per-stage attribution of the staged solver
     (per-stage device syncs serialize host and device — use for relative
     attribution only).
@@ -249,16 +252,22 @@ def realdata_benchmark(
     n_pairs: int = 30,
     n_corr: int = 1500,
     ddtime: int = 10,
+    unknown_scale: bool = False,
 ) -> dict:
     """Reference-scale real-data protocol through the batched harness:
     n_scenes x n_pairs pairs, best-of-ddtime, per-dataset success criteria
     (teaser_cpp_ply_main.cc:424, :714). No fallback retries of any kind —
     every solve is the plain fused PSULVSB program. Returns aggregate
-    fields weighted over all scenes."""
+    fields weighted over all scenes.
+
+    unknown_scale=True is the reference's `unknownScale` mode
+    (teaser_cpp_ply_main.cc:319): each pair's dst is stretched by a random
+    test scale in [1, 5), estimate_scaling=True, and success additionally
+    requires scale error <= 0.1 (criteria include max_scale_err)."""
     from psulvsb_tpu.eval.batch_harness import run_benchmark_batched
     from psulvsb_tpu.eval.make_dataset import write_benchmark
 
-    root = f"/tmp/psulvsb_bench_{dataset}_r3"
+    root = f"/tmp/psulvsb_bench_{dataset}_r3" + ("_us" if unknown_scale else "")
     out_dir = os.path.join(root, "_results")
     shutil.rmtree(root, ignore_errors=True)
     scenes = [f"scene{i}" for i in range(n_scenes)]
@@ -266,12 +275,13 @@ def realdata_benchmark(
         root, scenes, dataset=dataset, n_pairs=n_pairs, n_corr=n_corr, seed=11
     )
 
+    es = dict(estimate_scaling=unknown_scale, **REALDATA_CAPS)
     if dataset == "kitti":
-        params = SolverParams.preset_kitti(estimate_scaling=False, **REALDATA_CAPS)
+        params = SolverParams.preset_kitti(**es)
     elif dataset == "whu_tls":
-        params = SolverParams.preset_whu_tls(estimate_scaling=False, **REALDATA_CAPS)
+        params = SolverParams.preset_whu_tls(**es)
     else:
-        params = SolverParams.preset_3dmatch(estimate_scaling=False, **REALDATA_CAPS)
+        params = SolverParams.preset_3dmatch(**es)
 
     # Prime the chunk-shaped program before the timed sweep (the C++
     # reference has no compile step; _warm_chunk dedups, so this costs
@@ -294,7 +304,7 @@ def realdata_benchmark(
     t0 = time.monotonic()
     summary = run_benchmark_batched(
         root, out_dir, dataset=dataset, scenes=scenes, params=params,
-        ddtime=ddtime,
+        ddtime=ddtime, unknown_scale=unknown_scale,
     )
     wall = time.monotonic() - t0
     total = sum(s["pairs"] for s in summary.values())
@@ -426,6 +436,11 @@ def main():
     rdk = realdata_benchmark("kitti")
     # WHU-TLS regime (VERDICT r2 #8): building scale, noise bound 0.15.
     whu = realdata_benchmark("whu_tls", n_scenes=2, n_pairs=12, ddtime=5)
+    # unknownScale mode (teaser_cpp_ply_main.cc:319): random test scale in
+    # [1, 5), estimate_scaling=True, scale error <= 0.1 in the criteria.
+    rdu = realdata_benchmark(
+        "3dmatch", n_scenes=4, n_pairs=15, ddtime=5, unknown_scale=True
+    )
 
     out = {
         "metric": "bunny_1889corr_90pct_outliers_solve_time",
@@ -451,7 +466,7 @@ def main():
         "device": str(jax.devices()[0]),
     }
     for name, rd in (("3dmatch", rd3), ("3dlomatch", rdl), ("kitti", rdk),
-                     ("whu_tls", whu)):
+                     ("whu_tls", whu), ("3dmatch_unkscale", rdu)):
         for k2, v in rd.items():
             out[f"realdata_{name}_{k2}"] = v
     print(json.dumps(out))

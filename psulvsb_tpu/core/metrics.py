@@ -50,14 +50,20 @@ def masked_rmse(
     mask: jax.Array,
     rotation: jax.Array,
     translation: jax.Array,
+    scale: jax.Array | float = 1.0,
 ) -> jax.Array:
-    """RMSE of (R src + t) vs dst over mask==True columns. src/dst: (3, N).
+    """RMSE of s*(R src + t) vs dst over mask==True columns. src/dst: (3, N).
 
     Equivalent of calculateRMSE (registration.cc:571-602); the no-inlier case
-    (reference throws) returns +inf so the refinement gate rejects.
+    (reference throws) returns +inf so the refinement gate rejects. The
+    reference's version is scale-blind (it only ever runs it at known
+    scale); the optional `scale` generalizes it to the solver's
+    s*(R p + t) model and is 1.0 everywhere the reference semantics apply.
     """
     m = mask.astype(src.dtype)
-    diff = mm(rotation, src) + translation[:, None] - dst
+    diff = jnp.asarray(scale, src.dtype) * (
+        mm(rotation, src) + translation[:, None]
+    ) - dst
     sq = jnp.sum(diff * diff, axis=0)
     count = jnp.sum(m)
     mse = jnp.sum(sq * m) / jnp.maximum(count, 1.0)

@@ -1301,18 +1301,34 @@ def _finalize_stage(
     """weightedSVD refinement seeded from the *sampled* best
     (registration.cc:1502-1525: init_transform uses rotation/translation_
     best_sampled) with per-point inlier-hit-count weights, accepted only if
-    the masked RMSE over final_inliers improves."""
+    the masked RMSE over final_inliers improves.
+
+    Scale-aware divergence (by intent, SURVEY.md §7.5): the reference's
+    weightedSVD + calculateRMSE ignore the estimated scale
+    (registration.cc:526-602 fit SE(3) between R*src+t and dst) — correct
+    at its published known-scale protocols but self-defeating under
+    unknownScale, where dst ≈ s*(R p + t) makes both RMSEs garbage and the
+    "adjust" can replace a good solution with a broken one. Here the fit
+    and both RMSE gates run in the s*(R p + t) model with s = the host-best
+    scale (the scale the returned solution carries); at s = 1 every formula
+    reduces exactly to the reference's."""
+    s = hs.best.scale
+    s_safe = jnp.where(s > 0, s, jnp.ones_like(s))
     w = hs.inlier_counter.astype(ori_src.dtype)
-    moved = mm(best_sampled.rotation, ori_src) + best_sampled.translation[:, None]
+    moved = s_safe * (
+        mm(best_sampled.rotation, ori_src) + best_sampled.translation[:, None]
+    )
     r_fit, t_fit = weighted_procrustes_srt(moved, ori_dst, w)
-    # combined = final * initial (registration.cc:566).
+    # combined = final * initial (registration.cc:566), in the s*(R p + t)
+    # convention: R_f*(s*(R p + t)) + t_f = s*(R_f R p + R_f t + t_f/s).
     r_adj = mm(r_fit, best_sampled.rotation)
-    t_adj = mm(r_fit, best_sampled.translation) + t_fit
+    t_adj = mm(r_fit, best_sampled.translation) + t_fit / s_safe
 
     mask = hs.final_inliers == 1
-    rmse_adj = masked_rmse(ori_src, ori_dst, mask, r_adj, t_adj)
+    rmse_adj = masked_rmse(ori_src, ori_dst, mask, r_adj, t_adj, scale=s_safe)
     rmse_ori = masked_rmse(
-        ori_src, ori_dst, mask, best_sampled.rotation, best_sampled.translation
+        ori_src, ori_dst, mask, best_sampled.rotation,
+        best_sampled.translation, scale=s_safe,
     )
     better = rmse_adj < rmse_ori
     rotation = jnp.where(better, r_adj, hs.best.rotation)

@@ -44,6 +44,21 @@ class TestBatchedScene:
         assert stats["pairs_per_s"] > 0
         assert os.path.exists(os.path.join(scene, "o.csv"))
 
+    def test_unknown_scale_recall(self, scene):
+        """The reference's unknownScale mode through the batched harness
+        (teaser_cpp_ply_main.cc:319): dst stretched by a random test scale
+        in [1, 5), estimate_scaling=True, scale error in the criteria."""
+        params = PARAMS.replace(estimate_scaling=True)
+        stats = run_scene_batched(
+            scene, os.path.join(scene, "pairs.txt"), params,
+            SuccessCriteria.threedmatch(), os.path.join(scene, "u.csv"),
+            ddtime=2, unknown_scale=True,
+        )
+        assert stats["pairs"] == 3
+        assert stats["recall"] == 1.0
+        # Successful pairs recovered the random test scale to the criterion.
+        assert stats["avg_scale_error"] <= 0.1
+
     def test_sharded_matches_serial_path(self, scene):
         """The sharded mesh path must produce the same per-pair successes as
         the single-device batch (identical keys -> identical programs)."""

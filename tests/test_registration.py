@@ -55,6 +55,10 @@ class TestDecoupledSolve:
         sol, _ = solve_decoupled(pair.src, dst, params, jax.random.PRNGKey(11))
         assert float(sol.scale) == pytest.approx(s_true, abs=0.02)
         assert float(angular_error_deg(pair.transform.rotation, sol.rotation)) < 2.0
+        # Classic convention dst = s R src + t (no t /= s, classic.py:16):
+        # the recovered translation is s * t_gt.
+        t_gt = s_true * pair.transform.translation
+        assert float(jnp.linalg.norm(sol.translation - t_gt)) < 0.1
 
 
 class TestPsulvsbSolve:
@@ -214,6 +218,15 @@ class TestSampledInit:
         sol, _ = psulvsb_solve(pair.src, dst, jnp.ones((120,), jnp.int32),
                                params, jax.random.PRNGKey(3))
         assert float(sol.scale) == pytest.approx(s_true, abs=0.05)
+        # PSULVSB convention dst = s*(R src + t) (t /= s,
+        # registration.cc:1250): the recovered translation is t_gt itself.
+        # Guards the scale-aware finalize (_finalize_stage) — the reference's
+        # scale-blind refine corrupts translation at s != 1.
+        re = float(angular_error_deg(pair.transform.rotation, sol.rotation))
+        te = float(
+            jnp.linalg.norm(sol.translation - pair.transform.translation)
+        )
+        assert re < 5.0 and te < 0.3, f"RE={re} TE={te}"
 
 
 class TestPallasGncSolver:
