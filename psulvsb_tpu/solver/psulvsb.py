@@ -1308,11 +1308,15 @@ def _finalize_stage(
     (registration.cc:526-602 fit SE(3) between R*src+t and dst) — correct
     at its published known-scale protocols but self-defeating under
     unknownScale, where dst ≈ s*(R p + t) makes both RMSEs garbage and the
-    "adjust" can replace a good solution with a broken one. Here the fit
-    and both RMSE gates run in the s*(R p + t) model with s = the host-best
-    scale (the scale the returned solution carries); at s = 1 every formula
-    reduces exactly to the reference's."""
-    s = hs.best.scale
+    "adjust" can replace a good solution with a broken one. Here the fit,
+    the composition, and both RMSE gates run in the s*(R p + t) model with
+    s = best_sampled.scale — the whole refine lives in the sampled-best
+    frame, exactly mirroring the reference's structure (its init_transform,
+    fit, and both gates all use the sampled best; the returned solution's
+    scale stays the host best's, registration.cc:1510-1527, whose peak-bin
+    consensus keeps it within a histogram bin of the sampled best's). At
+    s = 1 every formula reduces exactly to the reference's."""
+    s = best_sampled.scale
     s_safe = jnp.where(s > 0, s, jnp.ones_like(s))
     w = hs.inlier_counter.astype(ori_src.dtype)
     moved = s_safe * (

@@ -56,8 +56,13 @@ class TestBatchedScene:
         )
         assert stats["pairs"] == 3
         assert stats["recall"] == 1.0
-        # Successful pairs recovered the random test scale to the criterion.
-        assert stats["avg_scale_error"] <= 0.1
+        # Tighter than the 0.1 success gate (which recall==1.0 already
+        # implies): scale recovered to well under the criterion, and
+        # translation accurate — the regression guard for the scale-aware
+        # finalize (the scale-blind refine produced trans errors of 0.09-5.7
+        # on these pairs).
+        assert stats["avg_scale_error"] < 0.05
+        assert stats["avg_trans_error"] < 0.05
 
     def test_sharded_matches_serial_path(self, scene):
         """The sharded mesh path must produce the same per-pair successes as
