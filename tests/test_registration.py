@@ -351,3 +351,87 @@ class TestExtrasValidity:
             # A hypothesis legitimately displaced the seed — its extras
             # must carry at least one active basic TIM slot.
             assert bool(jnp.any(local.extras.b_i != 0) | jnp.any(local.extras.b_j != 0))
+
+
+class TestFinalizeStage:
+    """Deterministic unit tests of the weightedSVD finalize math
+    (_finalize_stage; registration.cc:526-569, :1502-1525) — in particular
+    the scale-aware frame (sampled-best scale s throughout: fit between
+    s*(R src + t) and dst, composition t_adj = R_f t + t_f/s, RMSE gates in
+    the same model)."""
+
+    def _state(self, src, dst, warm, s):
+        from psulvsb_tpu.solver.basic import WarmState
+        from psulvsb_tpu.solver.psulvsb import HostState
+
+        c = src.shape[1]
+        hs = HostState.initial(c, jnp.ones((c,), jnp.int32))
+        best = WarmState(
+            scale=jnp.float32(s), rotation=warm.rotation,
+            translation=warm.translation, first_time=jnp.zeros((), bool),
+        )
+        return hs._replace(
+            inlier_counter=jnp.ones((c,), jnp.int32),
+            final_inliers=jnp.ones((c,), jnp.int32),
+            best=best,
+            best_count=jnp.int32(c),
+        )
+
+    @pytest.mark.parametrize("s_true", [1.0, 3.0])
+    def test_refine_recovers_exact_model(self, s_true):
+        """dst generated exactly as s*(R_gt src + t_gt); seeding with a
+        slightly-off pose must refine onto the exact one (RMSE -> ~0) and
+        the composed (r_adj, t_adj) must satisfy the s*(R p + t) model."""
+        from psulvsb_tpu.core.se3 import random_se3
+        from psulvsb_tpu.solver.basic import WarmState
+        from psulvsb_tpu.solver.psulvsb import _finalize_stage
+
+        key = jax.random.PRNGKey(7)
+        src = jnp.asarray(synthetic_cloud(50, seed=9))
+        r_gt = random_se3(key).rotation
+        t_gt = jnp.asarray([0.3, -0.2, 0.5])
+        dst = s_true * (r_gt @ src + t_gt[:, None])
+
+        # Perturb the seed pose: small rotation about z + translation shift.
+        ang = 0.02
+        dr = jnp.asarray(
+            [[jnp.cos(ang), -jnp.sin(ang), 0.0],
+             [jnp.sin(ang), jnp.cos(ang), 0.0],
+             [0.0, 0.0, 1.0]]
+        )
+        seed = WarmState(
+            scale=jnp.float32(s_true),
+            rotation=dr @ r_gt,
+            translation=t_gt + 0.05,
+            first_time=jnp.zeros((), bool),
+        )
+        hs = self._state(src, dst, seed, s_true)
+        rotation, translation, better = _finalize_stage(src, dst, hs, seed)
+        assert bool(better)
+        res = s_true * (rotation @ src + translation[:, None]) - dst
+        assert float(jnp.sqrt(jnp.mean(jnp.sum(res**2, axis=0)))) < 1e-4
+
+    def test_gate_rejects_when_seed_exact(self):
+        """Seeding with the exact pose: refinement cannot improve a zero
+        RMSE, so the gate keeps the host best unchanged."""
+        from psulvsb_tpu.core.se3 import random_se3
+        from psulvsb_tpu.solver.basic import WarmState
+        from psulvsb_tpu.solver.psulvsb import _finalize_stage
+
+        s_true = 2.0
+        src = jnp.asarray(synthetic_cloud(40, seed=10))
+        r_gt = random_se3(jax.random.PRNGKey(8)).rotation
+        t_gt = jnp.asarray([0.1, 0.4, -0.3])
+        dst = s_true * (r_gt @ src + t_gt[:, None])
+        seed = WarmState(
+            scale=jnp.float32(s_true), rotation=r_gt, translation=t_gt,
+            first_time=jnp.zeros((), bool),
+        )
+        hs = self._state(src, dst, seed, s_true)
+        rotation, translation, better = _finalize_stage(src, dst, hs, seed)
+        # rmse_adj cannot be strictly below an (exact) rmse_ori: the gate
+        # must keep the host best (registration.cc:1516 "Adjust failed").
+        assert not bool(better)
+        np.testing.assert_allclose(
+            np.asarray(rotation), np.asarray(r_gt), atol=1e-6
+        )
