@@ -284,22 +284,11 @@ def realdata_benchmark(
         params = SolverParams.preset_3dmatch(**es)
 
     # Prime the chunk-shaped program before the timed sweep (the C++
-    # reference has no compile step; _warm_chunk dedups, so this costs
-    # nothing when an earlier dataset already compiled the same program).
-    from psulvsb_tpu.eval.batch_harness import _warm_chunk
-    from psulvsb_tpu.eval.realdata import read_corr_file
-    from psulvsb_tpu.utils.padding import pad_columns, pad_to_bucket
+    # reference has no compile step; the harness dedups warm keys, so this
+    # costs nothing when an earlier dataset already compiled the program).
+    from psulvsb_tpu.eval.batch_harness import warm_scene
 
-    import numpy as np
-
-    s0, d0 = read_corr_file(
-        os.path.join(root, scenes[0], "cloud_bin_0+cloud_bin_1@corr.txt")
-    )
-    bkt = pad_to_bucket(s0.shape[1])
-    src0 = jnp.asarray(pad_columns(np.asarray(s0, np.float32), bkt))
-    dst0 = jnp.asarray(pad_columns(np.asarray(d0, np.float32), bkt))
-    keep0 = jnp.where(jnp.arange(bkt) < s0.shape[1], 1, -2).astype(jnp.int32)
-    _warm_chunk(src0, dst0, keep0, jax.random.PRNGKey(0), params, None)
+    warm_scene(os.path.join(root, scenes[0]), params)
 
     t0 = time.monotonic()
     summary = run_benchmark_batched(

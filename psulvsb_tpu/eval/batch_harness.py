@@ -138,6 +138,30 @@ def _warm_chunk(src0, dst0, keep0, key0, params, mesh, chunk=CHUNK):
     _WARMED.add(wk)
 
 
+def warm_scene(
+    scene_dir: str,
+    params: SolverParams,
+    descriptor: str = "fpfh",
+    mesh=None,
+) -> None:
+    """Compile + one dispatch of the chunk program for a scene's pad bucket
+    (untimed; the C++ reference has no compile step). Reads the scene's
+    first listed pair so callers don't re-implement the corr-file naming,
+    bucket padding, or keep-mask conventions this module owns."""
+    pairs = read_pair_labels(os.path.join(scene_dir, "pairs.txt"))
+    a, b = pairs[0]
+    suffix = "@corr.txt" if descriptor == "fpfh" else "@corr_fcgf.txt"
+    src, _dst = read_corr_file(
+        os.path.join(scene_dir, f"cloud_bin_{a}+cloud_bin_{b}{suffix}")
+    )
+    bucket = pad_to_bucket(src.shape[1])
+    src0 = jnp.asarray(pad_columns(np.asarray(src, np.float32), bucket))
+    keep0 = jnp.where(
+        jnp.arange(bucket) < src.shape[1], 1, -2
+    ).astype(jnp.int32)
+    _warm_chunk(src0, src0, keep0, jax.random.PRNGKey(0), params, mesh)
+
+
 def run_scene_batched(
     scene_dir: str,
     label_file: str,
@@ -170,6 +194,9 @@ def run_scene_batched(
     base_key = jax.random.PRNGKey(seed)
     salts = jnp.asarray([a * 100003 + b for a, b in pairs], jnp.int32)
     pair_keys = jax.vmap(lambda s: jax.random.fold_in(base_key, s))(salts)
+    # ONE host readback; per-pair rows below must slice numpy, not the
+    # device array (a device gather per pair is a tunnel dispatch each).
+    pair_keys_np = np.asarray(pair_keys)
     if unknown_scale:
         test_scales = np.asarray(
             1.0
@@ -188,8 +215,8 @@ def run_scene_batched(
         gt = read_gt_mat(stem + gt_suffix)
         test_scale = float(test_scales[n])
         loaded.append(
-            (f"{a}+{b}", src, dst * test_scale, gt, test_scale, pair_keys[n],
-             pad_to_bucket(src.shape[1]))
+            (f"{a}+{b}", src, dst * test_scale, gt, test_scale,
+             pair_keys_np[n], pad_to_bucket(src.shape[1]))
         )
 
     results: dict[str, PairResult] = {}
@@ -208,7 +235,7 @@ def run_scene_batched(
         )
         raw_keep = jnp.where(valid_b, 1, -2).astype(jnp.int32)
         n_g = len(group)
-        group_keys = jnp.stack([rec[5] for rec in group])
+        group_keys = jnp.asarray(np.stack([rec[5] for rec in group]))
         # Compile warm-up, untimed (the C++ reference has no compile step):
         # raw-mask inputs are shape-identical to the real flattened batch.
         if use_prefilter:
@@ -317,7 +344,7 @@ def run_scene_batched(
             {
                 "fingerprint": _scene_fingerprint(
                     params, ddtime, unknown_scale, descriptor, seed,
-                    use_prefilter, len(pairs),
+                    use_prefilter, len(pairs), criteria,
                 ),
                 "stats": stats,
             },
@@ -328,11 +355,14 @@ def run_scene_batched(
 
 
 def _scene_fingerprint(params, ddtime, unknown_scale, descriptor, seed,
-                       use_prefilter, n_pairs) -> dict:
+                       use_prefilter, n_pairs, criteria) -> dict:
     """Everything that determines a scene's results; resumed stats are only
     reused when this matches exactly (a CSV alone cannot prove it was
     produced by the same protocol — e.g. the serial harness writes the
-    identical filename pattern with possibly different ddtime/params)."""
+    identical filename pattern with possibly different ddtime/params).
+    Includes the success criteria: the same solves scored under another
+    dataset's gates (3DMatch 15 deg/0.3 m vs KITTI 5 deg/0.6 m) are a
+    different result."""
     return {
         "params": repr(params),
         "ddtime": ddtime,
@@ -341,6 +371,7 @@ def _scene_fingerprint(params, ddtime, unknown_scale, descriptor, seed,
         "seed": seed,
         "use_prefilter": use_prefilter,
         "n_pairs": n_pairs,
+        "criteria": repr(criteria),
     }
 
 
@@ -425,6 +456,7 @@ def run_benchmark_batched(
                     params, ddtime, unknown_scale, descriptor, seed,
                     use_prefilter,
                     len(read_pair_labels(os.path.join(scene_dir, "pairs.txt"))),
+                    criteria,
                 ),
             )
         if stats is None:

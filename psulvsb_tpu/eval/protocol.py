@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from psulvsb_tpu.core.metrics import angular_error_deg_np
-from psulvsb_tpu.utils.precision import mm
 from psulvsb_tpu.eval.pipeline import solve_with_prefilter
 from psulvsb_tpu.eval.reporting import write_csv, mean_std
 from psulvsb_tpu.eval.synthetic import make_synthetic_pair
@@ -49,16 +48,26 @@ def run_trial(
     sol = res.solution
 
     gt = pair.transform
-    scale_err = abs(float(sol.scale) - float(gt.scale))
-    angle_err = angular_error_deg_np(gt.rotation, sol.rotation)
-    trans_err = float(jnp.linalg.norm(sol.translation - gt.translation))
+    # Numpy scoring with one batched readback: a jnp op per trial result is
+    # a device dispatch each (~25 ms through a remote-TPU tunnel).
+    s_np, r_np, t_np, src_np, gt_r, gt_t, gt_s = jax.device_get(
+        (sol.scale, sol.rotation, sol.translation, pair.src,
+         gt.rotation, gt.translation, gt.scale)
+    )
+    s_f = float(s_np)
+    r64 = np.asarray(r_np, np.float64)
+    t64 = np.asarray(t_np, np.float64)
+    src64 = np.asarray(src_np, np.float64)
+    gt_r64 = np.asarray(gt_r, np.float64)
+    gt_t64 = np.asarray(gt_t, np.float64)
+    scale_err = abs(s_f - float(gt_s))
+    angle_err = angular_error_deg_np(gt_r64, r64)
+    trans_err = float(np.linalg.norm(t64 - gt_t64))
     # RMSE vs the noiseless ground-truth placement over ALL points
     # (PSULVSB.cc computes it against src_gt = T * src).
-    gt_pts = mm(gt.rotation, pair.src) + gt.translation[:, None]
-    est_pts = float(sol.scale) * (
-        mm(sol.rotation, pair.src) + sol.translation[:, None]
-    )
-    rmse = float(jnp.sqrt(jnp.mean(jnp.sum((gt_pts - est_pts) ** 2, axis=0))))
+    gt_pts = gt_r64 @ src64 + gt_t64[:, None]
+    est_pts = s_f * (r64 @ src64 + t64[:, None])
+    rmse = float(np.sqrt(np.mean(np.sum((gt_pts - est_pts) ** 2, axis=0))))
     return TrialResult(scale_err, angle_err, trans_err, rmse, res.elapsed_s)
 
 

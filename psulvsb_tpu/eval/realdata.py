@@ -33,7 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from psulvsb_tpu.core.metrics import angular_error_deg_np
-from psulvsb_tpu.utils.precision import mm
 from psulvsb_tpu.eval.pipeline import pad_bucket, solve_with_prefilter
 from psulvsb_tpu.eval.reporting import write_csv, mean_std
 from psulvsb_tpu.solver.config import SolverParams
@@ -164,9 +163,12 @@ def evaluate_pair(
     reference's harness has no such retry."""
     src_j = jnp.asarray(src, jnp.float32)
     dst_j = jnp.asarray(dst * test_scale, jnp.float32)
-    gt_r = jnp.asarray(gt[:3, :3], jnp.float32)
-    gt_t = jnp.asarray(gt[:3, 3], jnp.float32)
-    gt_pts = mm(gt_r, src_j) + gt_t[:, None]
+    # Scoring stays in numpy: a jnp op per (pair, retry) result is a device
+    # dispatch each (~25 ms through a remote-TPU tunnel).
+    src_np = np.asarray(src, np.float64)
+    gt_r = np.asarray(gt[:3, :3], np.float64)
+    gt_t = np.asarray(gt[:3, 3], np.float64)
+    gt_pts = gt_r @ src_np + gt_t[:, None]
 
     warm_key = (pad_bucket(src_j.shape[1]), params, use_prefilter,
                 decoupled_fallback)
@@ -194,17 +196,24 @@ def evaluate_pair(
             src_j, dst_j, params, jax.random.fold_in(key, t), use_prefilter=pre
         )
         sol = res.solution
-        est_pts = float(sol.scale) * (mm(sol.rotation, src_j) + sol.translation[:, None])
+        # ONE batched readback per retry, then pure-numpy scoring.
+        s_np, r_np, t_np = jax.device_get(
+            (sol.scale, sol.rotation, sol.translation)
+        )
+        s_f = float(s_np)
+        r64 = np.asarray(r_np, np.float64)
+        t64 = np.asarray(t_np, np.float64)
+        est_pts = s_f * (r64 @ src_np + t64[:, None])
         # RMSE vs GT placement over all correspondences, scale-normalized
         # (the driver compares in the unscaled frame).
         rmse = float(
-            jnp.sqrt(jnp.mean(jnp.sum((gt_pts - est_pts / test_scale) ** 2, axis=0)))
+            np.sqrt(np.mean(np.sum((gt_pts - est_pts / test_scale) ** 2, axis=0)))
         )
         r = PairResult(
-            scale_error=abs(float(sol.scale) - test_scale),
-            angle_error_deg=angular_error_deg_np(gt_r, sol.rotation),
+            scale_error=abs(s_f - test_scale),
+            angle_error_deg=angular_error_deg_np(gt_r, r64),
             trans_error=float(
-                jnp.linalg.norm(sol.translation * sol.scale / test_scale - gt_t)
+                np.linalg.norm(t64 * s_f / test_scale - gt_t)
             ),
             rmse=rmse,
             time_s=res.elapsed_s,
@@ -225,18 +234,21 @@ def evaluate_pair(
         )
         elapsed = time.monotonic() - t0
         # Upstream convention: dst = s * R * src + t (classic.py docstring).
-        est_pts = (
-            float(dsol.scale) * mm(dsol.rotation, src_j)
-            + dsol.translation[:, None]
+        ds_np, dr_np, dt_np = jax.device_get(
+            (dsol.scale, dsol.rotation, dsol.translation)
         )
+        ds_f = float(ds_np)
+        dr64 = np.asarray(dr_np, np.float64)
+        dt64 = np.asarray(dt_np, np.float64)
+        est_pts = ds_f * (dr64 @ src_np) + dt64[:, None]
         rmse = float(
-            jnp.sqrt(jnp.mean(jnp.sum((gt_pts - est_pts / test_scale) ** 2, axis=0)))
+            np.sqrt(np.mean(np.sum((gt_pts - est_pts / test_scale) ** 2, axis=0)))
         )
         r = PairResult(
-            scale_error=abs(float(dsol.scale) - test_scale),
-            angle_error_deg=angular_error_deg_np(gt_r, dsol.rotation),
+            scale_error=abs(ds_f - test_scale),
+            angle_error_deg=angular_error_deg_np(gt_r, dr64),
             trans_error=float(
-                jnp.linalg.norm(dsol.translation / test_scale - gt_t)
+                np.linalg.norm(dt64 / test_scale - gt_t)
             ),
             rmse=rmse,
             time_s=elapsed,

@@ -33,6 +33,7 @@ from psulvsb_tpu.solver.psulvsb import (
     _host_stage,
     _self_update_pairs,
     _finalize_stage,
+    _clique_seed_stage,
 )
 from psulvsb_tpu.solver.solution import RegistrationSolution
 
@@ -133,8 +134,6 @@ def psulvsb_register(
                 # at >= 97% mismatch outliers) and only once. Inside lax.cond
                 # the untaken branch does not execute, so converging pairs
                 # never pay the seed's device time.
-                from psulvsb_tpu.solver.psulvsb import _clique_seed_stage
-
                 want = local.escalate & ~carry.seeded & ~stop
 
                 def run_seed(w):
@@ -200,8 +199,6 @@ def psulvsb_register(
         # decoupled solve, adopted when the clique has >= clique_seed_min_size
         # members. Composes with gror_init: a successful clique seed wins
         # (it is built from this pair's own consistency graph).
-        from psulvsb_tpu.solver.psulvsb import _clique_seed_stage
-
         key, k_seed = jax.random.split(key)
         sw, seed_ok = _clique_seed_stage(
             ori_src, ori_dst, red_i0, red_j0, red_pool0, params, k_seed
