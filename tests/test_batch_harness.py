@@ -152,6 +152,16 @@ class TestBatchedScene:
         )
         assert third["sceneA"]["timing"] == "amortized-batch"
         assert os.path.getmtime(csv_path) != mtime
+        # Criteria mismatch must also re-run: the same solves scored under
+        # another dataset's success gates are a different result (review r3:
+        # dataset='kitti' previously resumed 3DMatch-criteria stats as-is).
+        mtime3 = os.path.getmtime(csv_path)
+        fourth = run_benchmark_batched(
+            str(root), str(out), dataset="kitti", scenes=["sceneA"],
+            params=PARAMS, ddtime=2, resume=True,
+        )
+        assert fourth["sceneA"]["timing"] == "amortized-batch"
+        assert os.path.getmtime(csv_path) != mtime3
 
     def test_whu_tls_default_params_match_regime(self, tmp_path):
         """dataset='whu_tls' with params=None must solve with the WHU-TLS
