@@ -326,8 +326,41 @@ def realdata_benchmark(
     }
 
 
+def _probe_backend(timeout_s: int = 150) -> bool:
+    """Fail fast when the device backend is unreachable. The remote-TPU
+    tunnel can go fully down (observed: 1h+ outages where even
+    jax.devices() hangs); without this guard the bench would hang the
+    driver instead of reporting. Probes in a subprocess so the hang cannot
+    leak into this process."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jnp.sum(jnp.ones((64,64)) @ jnp.ones((64,64)))))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     n_repeat = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "bunny_1889corr_90pct_outliers_solve_time",
+            "value": None,
+            "unit": "s",
+            "vs_baseline": None,
+            "error": "device backend unreachable (tunnel down?) — probe "
+                     "matmul did not complete within 150 s",
+        }))
+        sys.exit(1)
 
     params = SolverParams.preset_artificial(**CAPS)
     src = jnp.asarray(synthetic_cloud(N_CORRS, seed=0))
