@@ -452,15 +452,23 @@ def main():
     )
 
     # Reference-scale real-data protocol (VERDICT r2 #1): 240 pairs/dataset,
-    # best-of-10, batched harness, no fallback retries.
-    rd3 = realdata_benchmark("3dmatch")
-    rdl = realdata_benchmark("3dlomatch")
-    rdk = realdata_benchmark("kitti")
+    # best-of-10, batched harness, no fallback retries. Each protocol is
+    # error-isolated: a tunnel abort mid-sweep yields an `error` field for
+    # that protocol instead of losing the whole artifact.
+    def guarded(*args, **kw):
+        try:
+            return realdata_benchmark(*args, **kw)
+        except Exception as e:  # noqa: BLE001 — diagnostic capture
+            return {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    rd3 = guarded("3dmatch")
+    rdl = guarded("3dlomatch")
+    rdk = guarded("kitti")
     # WHU-TLS regime (VERDICT r2 #8): building scale, noise bound 0.15.
-    whu = realdata_benchmark("whu_tls", n_scenes=2, n_pairs=12, ddtime=5)
+    whu = guarded("whu_tls", n_scenes=2, n_pairs=12, ddtime=5)
     # unknownScale mode (teaser_cpp_ply_main.cc:319): random test scale in
     # [1, 5), estimate_scaling=True, scale error <= 0.1 in the criteria.
-    rdu = realdata_benchmark(
+    rdu = guarded(
         "3dmatch", n_scenes=4, n_pairs=15, ddtime=5, unknown_scale=True
     )
 
