@@ -25,6 +25,10 @@ import sys
 
 sys.path.insert(0, ".")
 
+from psulvsb_tpu.utils.platform import respect_env_platforms
+
+respect_env_platforms()  # honor JAX_PLATFORMS over any sitecustomize hook
+
 from psulvsb_tpu.eval.realdata import run_benchmark
 
 

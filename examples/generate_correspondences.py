@@ -14,6 +14,10 @@ import sys
 
 sys.path.insert(0, ".")
 
+from psulvsb_tpu.utils.platform import respect_env_platforms
+
+respect_env_platforms()  # honor JAX_PLATFORMS over any sitecustomize hook
+
 from psulvsb_tpu.eval.corr_gen import generate_correspondences, write_corr_file
 from psulvsb_tpu.io.ply import read_ply
 

@@ -22,6 +22,10 @@ import time
 
 sys.path.insert(0, ".")
 
+from psulvsb_tpu.utils.platform import respect_env_platforms
+
+respect_env_platforms()  # honor JAX_PLATFORMS over any sitecustomize hook
+
 import numpy as np
 import jax
 import jax.numpy as jnp

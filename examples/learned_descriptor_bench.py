@@ -18,6 +18,10 @@ import sys
 
 sys.path.insert(0, ".")
 
+from psulvsb_tpu.utils.platform import respect_env_platforms
+
+respect_env_platforms()  # honor JAX_PLATFORMS over any sitecustomize hook
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -95,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    else:
+        # Honor JAX_PLATFORMS over any sitecustomize override (the remote
+        # backend's hook re-pins jax_platforms at interpreter start).
+        from psulvsb_tpu.utils.platform import respect_env_platforms
+
+        respect_env_platforms()
 
     from psulvsb_tpu.api import RobustRegistrationSolver
     from psulvsb_tpu.solver.config import (
