@@ -138,6 +138,25 @@ def _warm_chunk(src0, dst0, keep0, key0, params, mesh, chunk=CHUNK):
     _WARMED.add(wk)
 
 
+def _flatten(src_b, dst_b, pre_keep, raw_keep, group_keys, ddtime,
+             use_prefilter):
+    """(pair, retry) flattening: retry t of pair p sits at p * ddtime + t.
+    Retries 0..ddtime-2 use the prefilter mask, the last runs raw
+    (eval/realdata.evaluate_pair's per-retry rule). Per-retry keys derive
+    in one vmapped fold_in dispatch."""
+    n_g = src_b.shape[0]
+    idx = np.repeat(np.arange(n_g), ddtime)
+    retry = np.tile(np.arange(ddtime), n_g)
+    use_pre = use_prefilter & ((retry < ddtime - 1) | (ddtime == 1))
+    keep_flat = jnp.where(
+        jnp.asarray(use_pre)[:, None], pre_keep[idx], raw_keep[idx]
+    )
+    keys = jax.vmap(jax.random.fold_in)(
+        group_keys[idx], jnp.asarray(retry, jnp.uint32)
+    )
+    return src_b[idx], dst_b[idx], keep_flat, keys
+
+
 def warm_scene(
     scene_dir: str,
     params: SolverParams,
@@ -243,6 +262,25 @@ def run_scene_batched(
         _warm_chunk(
             src_b[0], dst_b[0], raw_keep[0], group_keys[0], params, mesh
         )
+        # Warm the tiny per-shape flatten/pad programs (gather, where,
+        # vmapped fold_in, chunk-pad concat): each is a distinct XLA compile
+        # keyed on (n_g, ddtime, bucket), and on the first scene of a new
+        # shape they would otherwise land inside the timed region (measured:
+        # a 12-pair scene read 0.9 s/pair vs its 0.076 s/pair twin from
+        # exactly this).
+        wf = ("flatten", n_g, ddtime, bucket, bool(use_prefilter),
+              None if mesh is None else mesh.size)
+        if wf not in _WARMED:
+            f_arrs = _flatten(
+                src_b, dst_b, raw_keep, raw_keep, group_keys, ddtime,
+                use_prefilter,
+            )
+            wchunk = CHUNK
+            if mesh is not None and mesh.size > 1:
+                wchunk = -(-wchunk // mesh.size) * mesh.size
+            (padded, *_rest), _b = _chunk_pad(list(f_arrs), wchunk)
+            _ = np.asarray(padded[-1, 0])
+            _WARMED.add(wf)
 
         # The timed region covers everything the serial harness counts per
         # retry (eval/pipeline.solve_with_prefilter times normals +
@@ -254,19 +292,9 @@ def run_scene_batched(
         else:
             pre_keep = raw_keep
 
-        # (pair, retry) flattening: retry t of pair p sits at p * ddtime + t.
-        # Retries 0..ddtime-2 use the prefilter mask, the last runs raw
-        # (eval/realdata.evaluate_pair's per-retry rule).
-        idx = np.repeat(np.arange(n_g), ddtime)
-        retry = np.tile(np.arange(ddtime), n_g)
-        use_pre = use_prefilter & ((retry < ddtime - 1) | (ddtime == 1))
-        keep_flat = jnp.where(
-            jnp.asarray(use_pre)[:, None], pre_keep[idx], raw_keep[idx]
-        )
-        src_flat = src_b[idx]
-        dst_flat = dst_b[idx]
-        keys = jax.vmap(jax.random.fold_in)(
-            group_keys[idx], jnp.asarray(retry, jnp.uint32)
+        src_flat, dst_flat, keep_flat, keys = _flatten(
+            src_b, dst_b, pre_keep, raw_keep, group_keys, ddtime,
+            use_prefilter,
         )
 
         sols, n_flat = _solve_batch(src_flat, dst_flat, keep_flat, keys, params, mesh)
