@@ -7,36 +7,56 @@ the solution is actually correct (RE < 5 deg, TE < 0.3 — the 3DMatch recall
 criteria), and prints ONE JSON line:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup, ...}
 
+Outage resilience (the r3 lesson — one tunnel outage nulled the whole
+round's artifact):
+  - the backend probe RETRIES (default 10 attempts x ~150 s probe + 60 s
+    sleep ~= 35 min) instead of failing on one attempt;
+  - every measured section is flushed incrementally to BENCH_PARTIAL
+    (default /tmp/bench_partial.json) the moment it lands;
+  - each section is error-isolated — a tunnel abort mid-section records
+    an `error_<section>` field and the bench continues;
+  - protocol sections retry once after a 90 s backoff (observed tunnel
+    aborts clear in ~90 s);
+  - SIGTERM/SIGINT and fatal exceptions still emit the final JSON line
+    with every completed field.
+
 Extra fields:
-  - batch8_pairs_per_s: one-chip batched throughput (lax.map of fused solves)
-  - solve_5000corr_s / rot_err_5000_deg: the BASELINE.md north-star size
+  - batch{8,16,32,64}_pairs_per_s: one-chip batched throughput scaling
+    (lax.map of fused solves per dispatch — the per-device shape of the
+    sharded dataset sweep).
+  - solve_5000corr_s / rot_err_5000_deg: the BASELINE.md north-star size.
   - realdata_{3dmatch,3dlomatch,kitti}_*: the real-data protocol at
     reference scale — 8 scenes x 30 pairs x best-of-ddtime=10 per dataset
     (240 pairs each, the reference's per-dataset scene count and retry
     count, teaser_cpp_ply_main.cc:244-795) — through the BATCHED harness
-    (eval/batch_harness.py: all solves of a scene in one device program; no
-    decoupled-fallback retry anywhere). `_sweep_pairs_per_s` is end-to-end
-    pair throughput; `_sweep_solves_per_s` counts every best-of-ddtime
-    retry dispatched (pairs x ddtime / wall).
+    (eval/batch_harness.py). 3DMatch runs the reference's real pair
+    cardinality: mixed sizes around ~5000 corrs/pair (BASELINE.md: "~5k
+    FPFH matches"), spanning three pad buckets (4096/6144/8192).
   - whu_tls_*: the WHU-TLS regime (noise bound 0.15, building scale —
-    registration.cc:35) on a generated scene through the same harness.
+    registration.cc:35), full scale (8 x 30 x ddtime 10).
   - realdata_3dmatch_unkscale_*: the reference's unknownScale mode
     (teaser_cpp_ply_main.cc:319) — random test scale in [1, 5) per pair,
-    estimate_scaling=True, success additionally needs scale err <= 0.1.
+    estimate_scaling=True, success additionally needs scale err <= 0.1 —
+    full scale (8 x 30 x ddtime 10).
+  - realscan_*: the reference's shipped REAL indoor scan pair
+    (examples/teaser_python_fpfh_icp/data/cloud_bin_{0,4}.ply) through the
+    native voxel->normals->FPFH->matcher->PSULVSB->ICP pipeline.
   - stage_wall_s_*: HOST-WALL per-stage attribution of the staged solver
-    (per-stage device syncs serialize host and device — use for relative
-    attribution only).
-  - device_ms_*: scan-amortized DEVICE time (K reps of the op inside one
-    jitted lax.scan with a carry data dependency, divided by K) — the
-    tunnel-RTT-free numbers that reflect actual chip occupancy.
+    (relative attribution only — syncs serialize host and device).
+  - device_ms_*: scan-amortized DEVICE time (K reps inside one jitted
+    lax.scan with a carry data dependency, divided by K) — tunnel-RTT-free.
+  - stage_bytes_*: XLA cost-analysis bytes-accessed per stage, with the
+    implied per-stage HBM-bandwidth utilization — distinguishes
+    bandwidth-bound stages from dispatch/overhead-bound ones.
   - flops_1889 / mxu_util_pct_1889: XLA cost-analysis FLOPs — a roofline
     position, not an achievement claim: the workload is top-k/sort/gather
-    heavy, so low MXU share is expected; the latency numbers are the story.
+    heavy, so low MXU share is expected.
 """
 
 import json
 import os
 import shutil
+import signal
 import sys
 import time
 
@@ -74,6 +94,61 @@ PEAK_HBM_BPS = 819e9
 # batches used to buy.
 CAPS = dict(sampled_cap=2048, basic_cap=256, hypothesis_batch=4)
 REALDATA_CAPS = dict(sampled_cap=2048, basic_cap=256, hypothesis_batch=4)
+
+# The reference's 3DMatch pairs carry ~5k FPFH correspondences with
+# pair-to-pair variance (BASELINE.md eval configs; SURVEY §2.3's C=5k).
+# Mixed sizes on purpose: they exercise three pad buckets (4096/6144/8192,
+# utils/padding.DEFAULT_PAD_BUCKETS) inside every scene sweep, mean 5000.
+THREEDMATCH_CORRS = (3500, 5000, 6500)
+
+PARTIAL_PATH = os.environ.get("BENCH_PARTIAL", "/tmp/bench_partial.json")
+
+OUT: dict = {"metric": "bunny_1889corr_90pct_outliers_solve_time",
+             "value": None, "unit": "s", "vs_baseline": None}
+
+
+def _flush() -> None:
+    """Persist the artifact-so-far. A crash/abort after this point cannot
+    lose the fields already measured (VERDICT r3 #1: one tunnel outage
+    wiped the whole round's evidence)."""
+    try:
+        with open(PARTIAL_PATH + ".tmp", "w") as f:
+            json.dump(OUT, f)
+        os.replace(PARTIAL_PATH + ".tmp", PARTIAL_PATH)
+    except OSError:
+        pass
+
+
+def _emit_and_exit(signum=None, _frame=None):
+    """Emit the final JSON line with whatever completed. Exit 0 iff the
+    headline number landed (partial artifacts with a headline are still
+    evidence; a missing headline is a failed capture)."""
+    if signum is not None:
+        OUT.setdefault("error", f"terminated by signal {signum}")
+    _flush()
+    print(json.dumps(OUT))
+    sys.stdout.flush()
+    sys.exit(0 if OUT.get("value") is not None else 1)
+
+
+def section(name):
+    """Run a section function; on failure record error_<name> and keep
+    going. Every section flushes on completion."""
+
+    def deco(fn):
+        def run(*a, **kw):
+            try:
+                r = fn(*a, **kw)
+                _flush()
+                return r
+            except Exception as e:  # noqa: BLE001 — diagnostic capture
+                OUT[f"error_{name}"] = f"{type(e).__name__}: {e}"[:300]
+                print(f"[bench] section {name} failed: {e}", file=sys.stderr)
+                _flush()
+                return None
+        return run
+
+    return deco
 
 
 def measure_batched_throughput(params, n_pairs: int = 8) -> float:
@@ -152,14 +227,9 @@ def device_ms_fused(pair, keep, params, k: int = 12) -> float:
     return round(best / k * 1000.0, 2)
 
 
-def device_ms_stages(pair, keep, params, k: int = 12) -> dict:
-    """Scan-amortized device time per solver stage (ms): each stage is
-    scanned K times with a carry perturbation on a float input and a
-    carry contribution from its output, so XLA cannot hoist or elide the
-    repeated work. Inputs are the stage's actual inputs from one real
-    staged solve pass."""
-    import numpy as np
-
+def _stage_fns(pair, keep, params):
+    """Bind the staged solver's five stages to representative inputs from
+    one real staged pass; returns {name: (fn(src, key), out_leaf)}."""
     from psulvsb_tpu.solver.basic import WarmState
     from psulvsb_tpu.solver.config import RATE_SCHEDULE
     from psulvsb_tpu.solver.psulvsb import (
@@ -177,7 +247,6 @@ def device_ms_stages(pair, keep, params, k: int = 12) -> dict:
     key = jax.random.PRNGKey(0)
     l_rate, b_rate = RATE_SCHEDULE[0]
 
-    # One eager pass to produce representative stage inputs.
     red_i, red_j, red_count, pool = _init_stage(src, dst, keep, params, key)
     n_red = int(jnp.sum(keep == 1))
     thr = jnp.asarray(params.pr_noise * (1.0 + n_red / c), dtype)
@@ -194,6 +263,51 @@ def device_ms_stages(pair, keep, params, k: int = 12) -> dict:
         src, dst, hs, local.best, local.local_r, jnp.asarray(False), thr,
         params, key,
     )
+
+    return {
+        "init": (
+            lambda s, kk: _init_stage(s, dst, keep, params, kk),
+            lambda o: o[2].astype(jnp.float32),
+        ),
+        "sample": (
+            lambda s, kk: _sample_stage(
+                red_i, red_j, red_count, pool,
+                jnp.asarray(l_rate, dtype) + s[0, 0] * 1e-12, params, kk, c,
+            ),
+            lambda o: o[3].astype(jnp.float32),
+        ),
+        "local": (
+            lambda s, kk: _local_stage(
+                s, dst, s_i, s_j, s_ok, s_count, s_pts,
+                jnp.asarray(b_rate, dtype), jnp.asarray(False), hs.host_r,
+                warm, thr, params, kk,
+            ),
+            lambda o: o.best.scale,
+        ),
+        "host": (
+            lambda s, kk: _host_stage(
+                s, dst, hs, local.best, local.local_r, jnp.asarray(False),
+                thr, params, kk,
+            ),
+            lambda o: o[0].best.scale,
+        ),
+        "finalize": (
+            lambda s, kk: _finalize_stage(s, dst, hs2, local.best),
+            lambda o: o[0][0, 0],
+        ),
+    }
+
+
+def device_ms_stages(pair, keep, params, k: int = 12) -> dict:
+    """Scan-amortized device time per solver stage (ms): each stage is
+    scanned K times with a carry perturbation on a float input and a
+    carry contribution from its output, so XLA cannot hoist or elide the
+    repeated work. Inputs are the stage's actual inputs from one real
+    staged solve pass."""
+    import numpy as np
+
+    src = pair.src
+    key = jax.random.PRNGKey(0)
 
     def scan_of(fn, out_leaf):
         @jax.jit
@@ -213,36 +327,29 @@ def device_ms_stages(pair, keep, params, k: int = 12) -> dict:
             best = min(best, time.perf_counter() - t0)
         return round(best / k * 1000.0, 2)
 
+    return {
+        name: scan_of(fn, leaf)
+        for name, (fn, leaf) in _stage_fns(pair, keep, params).items()
+    }
+
+
+def stage_bytes_accessed(pair, keep, params) -> dict:
+    """XLA cost-analysis bytes-accessed per solver stage (one compiled
+    stage program each). Combined with device_ms_stage_* this separates
+    bandwidth-bound stages (bytes/time near the HBM roofline) from
+    dispatch/overhead-bound ones (VERDICT r3 #5)."""
     out = {}
-    out["init"] = scan_of(
-        lambda s, kk: _init_stage(s, dst, keep, params, kk),
-        lambda o: o[2].astype(jnp.float32),
-    )
-    out["sample"] = scan_of(
-        lambda s, kk: _sample_stage(
-            red_i, red_j, red_count, pool,
-            jnp.asarray(l_rate, dtype) + s[0, 0] * 1e-12, params, kk, c,
-        ),
-        lambda o: o[3].astype(jnp.float32),
-    )
-    out["local"] = scan_of(
-        lambda s, kk: _local_stage(
-            s, dst, s_i, s_j, s_ok, s_count, s_pts, jnp.asarray(b_rate, dtype),
-            jnp.asarray(False), hs.host_r, warm, thr, params, kk,
-        ),
-        lambda o: o.best.scale,
-    )
-    out["host"] = scan_of(
-        lambda s, kk: _host_stage(
-            s, dst, hs, local.best, local.local_r, jnp.asarray(False), thr,
-            params, kk,
-        ),
-        lambda o: o[0].best.scale,
-    )
-    out["finalize"] = scan_of(
-        lambda s, kk: _finalize_stage(s, dst, hs2, local.best),
-        lambda o: o[0][0, 0],
-    )
+    for name, (fn, _leaf) in _stage_fns(pair, keep, params).items():
+        try:
+            compiled = (
+                jax.jit(fn).lower(pair.src, jax.random.PRNGKey(0)).compile()
+            )
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            out[name] = float(ca.get("bytes accessed", 0.0))
+        except Exception:  # noqa: BLE001 — per-stage isolation
+            out[name] = None
     return out
 
 
@@ -250,7 +357,7 @@ def realdata_benchmark(
     dataset: str,
     n_scenes: int = 8,
     n_pairs: int = 30,
-    n_corr: int = 1500,
+    n_corr=1500,
     ddtime: int = 10,
     unknown_scale: bool = False,
 ) -> dict:
@@ -267,7 +374,7 @@ def realdata_benchmark(
     from psulvsb_tpu.eval.batch_harness import run_benchmark_batched
     from psulvsb_tpu.eval.make_dataset import write_benchmark
 
-    root = f"/tmp/psulvsb_bench_{dataset}_r3" + ("_us" if unknown_scale else "")
+    root = f"/tmp/psulvsb_bench_{dataset}_r4" + ("_us" if unknown_scale else "")
     out_dir = os.path.join(root, "_results")
     shutil.rmtree(root, ignore_errors=True)
     scenes = [f"scene{i}" for i in range(n_scenes)]
@@ -326,12 +433,39 @@ def realdata_benchmark(
     }
 
 
-def _probe_backend(timeout_s: int = 150) -> bool:
-    """Fail fast when the device backend is unreachable. The remote-TPU
-    tunnel can go fully down (observed: 1h+ outages where even
-    jax.devices() hangs); without this guard the bench would hang the
-    driver instead of reporting. Probes in a subprocess so the hang cannot
-    leak into this process."""
+def realscan_benchmark(voxel: float = 0.05) -> dict:
+    """The reference's shipped REAL indoor scan pair (3DMatch cloud_bin_0 /
+    cloud_bin_4, examples/teaser_python_fpfh_icp/example.py) through the
+    native pipeline: voxel -> normals -> FPFH -> mutual-NN match ->
+    PSULVSB -> ICP. No ground-truth matrix ships with the pair; the
+    reference example's own success signal is ICP convergence from the
+    TEASER pose, reported here as icp_rmse / icp_fitness."""
+    import numpy as np
+
+    from psulvsb_tpu.eval.realscan import REALSCAN_PLYS, register_realscan
+
+    t0 = time.monotonic()
+    res = register_realscan(
+        *REALSCAN_PLYS, voxel=voxel, caps=REALDATA_CAPS
+    )
+    wall = time.monotonic() - t0
+    return {
+        "n_down_src": res["n_down_src"],
+        "n_down_dst": res["n_down_dst"],
+        "n_corr": res["n_corr"],
+        "solve_s": round(res["solve_s"], 4),
+        "icp_rmse": round(res["icp_rmse"], 5),
+        "icp_fitness": round(res["icp_fitness"], 4),
+        "icp_iters": res["icp_iters"],
+        "rot_vs_icp_deg": round(res["rot_vs_icp_deg"], 3),
+        "pipeline_wall_s": round(wall, 1),
+    }
+
+
+def _probe_backend_once(timeout_s: int = 150) -> bool:
+    """One probe attempt in a subprocess so a hang cannot leak into this
+    process (the remote-TPU tunnel can go fully down — observed 1 h+
+    outages where even jax.devices() hangs)."""
     import subprocess
 
     code = (
@@ -348,19 +482,41 @@ def _probe_backend(timeout_s: int = 150) -> bool:
         return False
 
 
+def _probe_backend_retry() -> bool:
+    """Probe with retries (VERDICT r3 #1a): outages observed in r3 lasted
+    from ~90 s (aborts) to hours (tunnel fully down). Default budget:
+    10 attempts x (150 s probe + 60 s sleep) ~= 35 min. Tunable via
+    BENCH_PROBE_ATTEMPTS / BENCH_PROBE_SLEEP_S."""
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "10"))
+    sleep_s = float(os.environ.get("BENCH_PROBE_SLEEP_S", "60"))
+    for i in range(attempts):
+        t0 = time.monotonic()
+        if _probe_backend_once():
+            print(f"[bench] backend up (probe attempt {i + 1})",
+                  file=sys.stderr)
+            return True
+        print(
+            f"[bench] probe attempt {i + 1}/{attempts} failed "
+            f"({time.monotonic() - t0:.0f} s); retrying in {sleep_s:.0f} s",
+            file=sys.stderr,
+        )
+        if i + 1 < attempts:
+            time.sleep(sleep_s)
+    return False
+
+
 def main():
     n_repeat = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 
-    if not _probe_backend():
-        print(json.dumps({
-            "metric": "bunny_1889corr_90pct_outliers_solve_time",
-            "value": None,
-            "unit": "s",
-            "vs_baseline": None,
-            "error": "device backend unreachable (tunnel down?) — probe "
-                     "matmul did not complete within 150 s",
-        }))
-        sys.exit(1)
+    signal.signal(signal.SIGTERM, _emit_and_exit)
+    signal.signal(signal.SIGINT, _emit_and_exit)
+
+    if not _probe_backend_retry():
+        OUT["error"] = (
+            "device backend unreachable (tunnel down?) — probe matmul did "
+            "not complete within the retry budget"
+        )
+        _emit_and_exit()
 
     params = SolverParams.preset_artificial(**CAPS)
     src = jnp.asarray(synthetic_cloud(N_CORRS, seed=0))
@@ -369,65 +525,128 @@ def main():
     )
     keep = jnp.ones((N_CORRS,), jnp.int32)
 
-    # Compile + correctness gate.
-    sol = psulvsb_register(pair.src, pair.dst, keep, jax.random.PRNGKey(0), params)
-    jax.block_until_ready(sol)
-    re = float(angular_error_deg(pair.transform.rotation, sol.rotation))
-    te = float(jnp.linalg.norm(sol.translation - pair.transform.translation))
-    ok = bool(sol.valid) and re < 5.0 and te < 0.3
-
-    times = []
-    for i in range(n_repeat):
-        k = jax.random.PRNGKey(100 + i)
-        t0 = time.perf_counter()
-        s = psulvsb_register(pair.src, pair.dst, keep, k, params)
-        # Force a host readback: on the axon tunnel block_until_ready alone
-        # does not reliably wait for remote completion.
-        _ = float(s.translation[0]) + float(s.scale)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    # Best-of: repeats differ only by tunnel/host jitter (same device
-    # program); the baseline number is likewise a single clean run.
-    best = times[0]
-
-    throughput = measure_batched_throughput(params)
-
-    # North-star size (BASELINE.md): 5000 correspondences, 90% outliers —
-    # informational field; no published reference number exists at this
-    # size (the C++ implementation scales O(C^2)+ from 0.949 s at 1889).
-    src5 = jnp.asarray(synthetic_cloud(5000, seed=0))
-    pair5 = make_synthetic_pair(
-        jax.random.PRNGKey(1), src5, noise_bound=0.01, outlier_rate=OUTLIER_RATE
-    )
-    keep5 = jnp.ones((5000,), jnp.int32)
-    s5 = psulvsb_register(pair5.src, pair5.dst, keep5, jax.random.PRNGKey(0), params)
-    _ = float(s5.scale)
-    t5 = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        s5 = psulvsb_register(
-            pair5.src, pair5.dst, keep5, jax.random.PRNGKey(50 + i), params
+    @section("headline")
+    def s_headline():
+        # Compile + correctness gate.
+        sol = psulvsb_register(
+            pair.src, pair.dst, keep, jax.random.PRNGKey(0), params
         )
-        _ = float(s5.translation[0])
-        t5.append(time.perf_counter() - t0)
-    re5 = float(angular_error_deg(pair5.transform.rotation, s5.rotation))
+        jax.block_until_ready(sol)
+        re = float(angular_error_deg(pair.transform.rotation, sol.rotation))
+        te = float(jnp.linalg.norm(sol.translation - pair.transform.translation))
+        ok = bool(sol.valid) and re < 5.0 and te < 0.3
 
-    # Device-time attribution (scan-amortized; VERDICT r2 #6).
-    dev_ms_1889 = device_ms_fused(pair, keep, params)
-    dev_ms_5000 = device_ms_fused(pair5, keep5, params)
-    dev_stage_1889 = device_ms_stages(pair, keep, params)
+        times = []
+        for i in range(n_repeat):
+            k = jax.random.PRNGKey(100 + i)
+            t0 = time.perf_counter()
+            s = psulvsb_register(pair.src, pair.dst, keep, k, params)
+            # Force a host readback: on the axon tunnel block_until_ready
+            # alone does not reliably wait for remote completion.
+            _ = float(s.translation[0]) + float(s.scale)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        # Best-of: repeats differ only by tunnel/host jitter (same device
+        # program); the baseline number is likewise a single clean run.
+        OUT["value"] = round(times[0], 4)
+        OUT["vs_baseline"] = round(BASELINE_S / times[0], 2)
+        OUT["median_s"] = round(times[len(times) // 2], 4)
+        OUT["correct"] = ok
+        OUT["rot_err_deg"] = round(re, 4)
+        OUT["trans_err"] = round(te, 4)
+        OUT["device"] = str(jax.devices()[0])
 
-    # Host-wall per-stage attribution (relative only; see docstring).
-    stage_1889 = stage_breakdown(pair, keep, params)
-    stage_5000 = stage_breakdown(pair5, keep5, params)
+    s_headline()
 
-    # Roofline position of the fused program. MXU utilization uses FLOPs;
-    # HBM-bandwidth utilization uses XLA's "bytes accessed" over the
-    # scan-amortized device time (the honest denominator — wall time
-    # includes ~25 ms tunnel RTT).
-    flops = None
-    bytes_acc = None
-    try:
+    @section("batch_scaling")
+    def s_batch():
+        # Single-chip batch scaling (VERDICT r3 #7): pairs/s at 8/16/32/64
+        # pairs per dispatch — the per-device shape of the sharded sweep.
+        for n in (8, 16, 32, 64):
+            OUT[f"batch{n}_pairs_per_s"] = round(
+                measure_batched_throughput(params, n_pairs=n), 2
+            )
+            _flush()
+
+    s_batch()
+
+    @section("north_star")
+    def s_5000():
+        # North-star size (BASELINE.md): 5000 correspondences, 90% outliers
+        # — informational; no published reference number exists at this size
+        # (the C++ implementation scales O(C^2)+ from 0.949 s at 1889).
+        src5 = jnp.asarray(synthetic_cloud(5000, seed=0))
+        pair5 = make_synthetic_pair(
+            jax.random.PRNGKey(1), src5, noise_bound=0.01,
+            outlier_rate=OUTLIER_RATE,
+        )
+        keep5 = jnp.ones((5000,), jnp.int32)
+        s5 = psulvsb_register(
+            pair5.src, pair5.dst, keep5, jax.random.PRNGKey(0), params
+        )
+        _ = float(s5.scale)
+        t5 = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            s5 = psulvsb_register(
+                pair5.src, pair5.dst, keep5, jax.random.PRNGKey(50 + i), params
+            )
+            _ = float(s5.translation[0])
+            t5.append(time.perf_counter() - t0)
+        OUT["solve_5000corr_s"] = round(min(t5), 4)
+        OUT["rot_err_5000_deg"] = round(
+            float(angular_error_deg(pair5.transform.rotation, s5.rotation)), 4
+        )
+        return pair5, keep5
+
+    ns = s_5000()
+
+    @section("device_time")
+    def s_device():
+        # Device-time attribution (scan-amortized; VERDICT r2 #6).
+        OUT["device_ms_solve_1889"] = device_ms_fused(pair, keep, params)
+        _flush()
+        if ns is not None:
+            pair5, keep5 = ns
+            OUT["device_ms_solve_5000"] = device_ms_fused(pair5, keep5, params)
+            _flush()
+        OUT["device_ms_stage_1889"] = device_ms_stages(pair, keep, params)
+
+    s_device()
+
+    @section("stage_roofline")
+    def s_stage_roofline():
+        # Per-stage bytes accessed + implied HBM-BW utilization (VERDICT r3
+        # #5): which stages sit near the bandwidth roofline vs which are
+        # overhead-bound and therefore fusable/shrinkable.
+        sb = stage_bytes_accessed(pair, keep, params)
+        OUT["stage_bytes_1889"] = sb
+        dms = OUT.get("device_ms_stage_1889") or {}
+        OUT["stage_hbm_bw_util_pct_1889"] = {
+            k: (
+                round(100.0 * b / (dms[k] / 1e3) / PEAK_HBM_BPS, 1)
+                if b and dms.get(k) else None
+            )
+            for k, b in sb.items()
+        }
+
+    s_stage_roofline()
+
+    @section("host_wall_stages")
+    def s_wall():
+        OUT["stage_wall_s_1889"] = stage_breakdown(pair, keep, params)
+        if ns is not None:
+            pair5, keep5 = ns
+            OUT["stage_wall_s_5000"] = stage_breakdown(pair5, keep5, params)
+
+    s_wall()
+
+    @section("cost_analysis")
+    def s_cost():
+        # Roofline position of the fused program. MXU utilization uses
+        # FLOPs; HBM-bandwidth utilization uses XLA's "bytes accessed" over
+        # the scan-amortized device time (the honest denominator — wall
+        # time includes ~25 ms tunnel RTT).
         compiled = (
             jax.jit(psulvsb_register, static_argnames=("params",))
             .lower(pair.src, pair.dst, keep, jax.random.PRNGKey(0), params)
@@ -438,68 +657,63 @@ def main():
             ca = ca[0]
         flops = float(ca.get("flops", 0.0)) or None
         bytes_acc = float(ca.get("bytes accessed", 0.0)) or None
-    except Exception:
-        pass
-    mxu_util = (
-        round(100.0 * flops / (dev_ms_1889 / 1e3) / PEAK_FLOPS_BF16, 3)
-        if flops
-        else None
-    )
-    hbm_bw_util = (
-        round(100.0 * bytes_acc / (dev_ms_1889 / 1e3) / PEAK_HBM_BPS, 2)
-        if bytes_acc
-        else None
-    )
+        dev_ms = OUT.get("device_ms_solve_1889")
+        OUT["fused_flops_1889"] = flops
+        OUT["fused_bytes_accessed_1889"] = bytes_acc
+        OUT["mxu_util_pct_1889"] = (
+            round(100.0 * flops / (dev_ms / 1e3) / PEAK_FLOPS_BF16, 3)
+            if flops and dev_ms else None
+        )
+        OUT["hbm_bw_util_pct_1889"] = (
+            round(100.0 * bytes_acc / (dev_ms / 1e3) / PEAK_HBM_BPS, 2)
+            if bytes_acc and dev_ms else None
+        )
 
-    # Reference-scale real-data protocol (VERDICT r2 #1): 240 pairs/dataset,
-    # best-of-10, batched harness, no fallback retries. Each protocol is
-    # error-isolated: a tunnel abort mid-sweep yields an `error` field for
-    # that protocol instead of losing the whole artifact.
-    def guarded(*args, **kw):
-        try:
-            return realdata_benchmark(*args, **kw)
-        except Exception as e:  # noqa: BLE001 — diagnostic capture
-            return {"error": f"{type(e).__name__}: {e}"[:300]}
+    s_cost()
 
-    rd3 = guarded("3dmatch")
-    rdl = guarded("3dlomatch")
-    rdk = guarded("kitti")
-    # WHU-TLS regime (VERDICT r2 #8): building scale, noise bound 0.15.
-    whu = guarded("whu_tls", n_scenes=2, n_pairs=12, ddtime=5)
-    # unknownScale mode (teaser_cpp_ply_main.cc:319): random test scale in
-    # [1, 5), estimate_scaling=True, scale error <= 0.1 in the criteria.
-    rdu = guarded(
-        "3dmatch", n_scenes=4, n_pairs=15, ddtime=5, unknown_scale=True
-    )
+    @section("realscan")
+    def s_realscan():
+        rs = realscan_benchmark()
+        for k2, v in rs.items():
+            OUT[f"realscan_{k2}"] = v
 
-    out = {
-        "metric": "bunny_1889corr_90pct_outliers_solve_time",
-        "value": round(best, 4),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_S / best, 2),
-        "median_s": round(times[len(times) // 2], 4),
-        "batch8_pairs_per_s": round(throughput, 2),
-        "solve_5000corr_s": round(min(t5), 4),
-        "rot_err_5000_deg": round(re5, 4),
-        "correct": ok,
-        "rot_err_deg": round(re, 4),
-        "trans_err": round(te, 4),
-        "device_ms_solve_1889": dev_ms_1889,
-        "device_ms_solve_5000": dev_ms_5000,
-        "device_ms_stage_1889": dev_stage_1889,
-        "stage_wall_s_1889": stage_1889,
-        "stage_wall_s_5000": stage_5000,
-        "fused_flops_1889": flops,
-        "mxu_util_pct_1889": mxu_util,
-        "fused_bytes_accessed_1889": bytes_acc,
-        "hbm_bw_util_pct_1889": hbm_bw_util,
-        "device": str(jax.devices()[0]),
-    }
-    for name, rd in (("3dmatch", rd3), ("3dlomatch", rdl), ("kitti", rdk),
-                     ("whu_tls", whu), ("3dmatch_unkscale", rdu)):
-        for k2, v in rd.items():
-            out[f"realdata_{name}_{k2}"] = v
-    print(json.dumps(out))
+    s_realscan()
+
+    # Reference-scale real-data protocols (VERDICT r2 #1, r3 #4/#6): 240
+    # pairs/dataset, best-of-10, batched harness, no fallback retries.
+    # Each protocol is error-isolated AND retried once after a 90 s backoff
+    # (observed tunnel aborts clear in ~90 s); results flush as they land.
+    def protocol(name, *args, **kw):
+        last_err = None
+        for attempt in range(2):
+            try:
+                rd = realdata_benchmark(*args, **kw)
+                for k2, v in rd.items():
+                    OUT[f"realdata_{name}_{k2}"] = v
+                _flush()
+                return
+            except Exception as e:  # noqa: BLE001 — diagnostic capture
+                last_err = f"{type(e).__name__}: {e}"[:300]
+                print(
+                    f"[bench] protocol {name} attempt {attempt + 1} failed:"
+                    f" {last_err}", file=sys.stderr,
+                )
+                if attempt == 0:
+                    time.sleep(90)
+        OUT[f"realdata_{name}_error"] = last_err
+        _flush()
+
+    # 3DMatch at the reference's real pair cardinality (~5k, mixed sizes
+    # across three pad buckets — VERDICT r3 #4).
+    protocol("3dmatch", "3dmatch", n_corr=THREEDMATCH_CORRS)
+    protocol("3dlomatch", "3dlomatch")
+    protocol("kitti", "kitti")
+    # WHU-TLS regime at FULL scale (VERDICT r3 #6): 8 x 30 x ddtime 10.
+    protocol("whu_tls", "whu_tls")
+    # unknownScale mode (teaser_cpp_ply_main.cc:319) at FULL scale.
+    protocol("3dmatch_unkscale", "3dmatch", unknown_scale=True)
+
+    _emit_and_exit()
 
 
 if __name__ == "__main__":

@@ -47,7 +47,9 @@ def main():
     ap.add_argument("--sharded", action="store_true",
                     help="with --batched: shard_map over all devices")
     ap.add_argument("--resume", action="store_true",
-                    help="with --batched: skip scenes whose CSV exists")
+                    help="with --batched: skip scenes whose completed sidecar"
+                         " meta (<csv>.meta.json) matches this run's protocol"
+                         " fingerprint (a bare CSV is not enough)")
     args = ap.parse_args()
 
     if args.batched or args.sharded:

@@ -20,8 +20,13 @@ batched dispatch, so `time_s` is the batch wall clock amortized per pair
 prefilter dispatch, (pair, retry) flattening, the solve batch, and the
 result readback — the same work the serial harness counts per retry
 (pipeline.solve_with_prefilter) minus per-retry prefilter repetition (the
-filter is deterministic, so the batch computes it once per pair). The
-60 s budget criterion is checked against the amortized figure.
+filter is deterministic, so the batch computes it once per pair). Because
+the amortized figure is systematically easier to pass than the serial
+per-retry wall clock, the 60 s budget gate is EXCLUDED from the batched
+success criterion (stats carry `time_gate = "excluded-amortized"`); recall
+here is accuracy-only and stays apples-to-apples with the serial harness
+whenever no serial pair is budget-bound (every observed protocol — pairs
+run ~0.01-1 s vs the 60 s gate).
 """
 
 from __future__ import annotations
@@ -328,11 +333,13 @@ def run_scene_batched(
                 )
                 if best is None or res.rmse < best.rmse:
                     best = res
+            # Time gate excluded on purpose: amortized batch time would pass
+            # the 60 s budget trivially (see module docstring) — gating on it
+            # would make batched recall incomparably easier than serial.
             ok = (
                 best.scale_error <= criteria.max_scale_err
                 and best.angle_error_deg <= criteria.max_angle_err_deg
                 and best.trans_error <= criteria.max_trans_err
-                and best.time_s <= criteria.max_time_s
             )
             results[tag] = best._replace(success=ok)
 
@@ -359,6 +366,7 @@ def run_scene_batched(
         "avg_time_s": sum(r.time_s for r in succ) / n_s,
         "pairs_per_s": len(res_list) / solve_wall if solve_wall > 0 else 0.0,
         "timing": "amortized-batch",
+        "time_gate": "excluded-amortized",
         "sharded": mesh is not None,
     }
     # Sidecar for resume: the exact stats plus the protocol fingerprint
@@ -400,6 +408,9 @@ def _scene_fingerprint(params, ddtime, unknown_scale, descriptor, seed,
         "use_prefilter": use_prefilter,
         "n_pairs": n_pairs,
         "criteria": repr(criteria),
+        # Invalidates pre-r4 sidecars: r4 removed the (never-binding) time
+        # gate from the batched success check.
+        "time_gate": "excluded-amortized",
     }
 
 

@@ -34,7 +34,7 @@ def _gt_matrix(rotation: np.ndarray, translation: np.ndarray) -> np.ndarray:
 def write_scene(
     scene_dir: str,
     n_pairs: int = 6,
-    n_corr: int = 1500,
+    n_corr: int | tuple[int, ...] = 1500,
     outlier_rates: tuple[float, ...] = (0.6, 0.75, 0.85, 0.9, 0.93, 0.95),
     noise_bound: float = 0.01,
     scene_scale: float = 1.0,
@@ -46,12 +46,21 @@ def write_scene(
 
     Pair i uses outlier_rates[i % len] with a fresh random SE(3) whose
     rotation is unconstrained (hostile large-angle cases included by
-    construction — random_se3 draws the angle uniform over [0, pi))."""
+    construction — random_se3 draws the angle uniform over [0, pi)).
+
+    n_corr may be a tuple — pair i then carries n_corr[i % len]
+    correspondences, which is what real FPFH/FCGF extraction produces
+    (pair cardinality varies with overlap) and what exercises several pad
+    buckets inside one scene sweep (utils/padding.DEFAULT_PAD_BUCKETS)."""
     os.makedirs(scene_dir, exist_ok=True)
     suffix = "@corr.txt" if descriptor == "fpfh" else "@corr_fcgf.txt"
     gt_suffix = "@GTmat.txt" if descriptor == "fpfh" else "@GTmat_fcgf.txt"
 
-    base = np.asarray(synthetic_cloud(n_corr, seed=seed)) * scene_scale
+    sizes = (n_corr,) if isinstance(n_corr, int) else tuple(n_corr)
+    bases = {
+        n: np.asarray(synthetic_cloud(n, seed=seed)) * scene_scale
+        for n in sorted(set(sizes))
+    }
     labels = []
     gt_log_blocks = []
     # Generation is many tiny ops; pinned to the host CPU device so a
@@ -64,6 +73,7 @@ def write_scene(
     for i in range(n_pairs):
         a, b = i, i + 1
         rate = outlier_rates[i % len(outlier_rates)]
+        base = bases[sizes[i % len(sizes)]]
         with jax.default_device(cpu):
             pair = make_synthetic_pair(
                 jax.random.PRNGKey(seed * 1000 + i),
@@ -99,12 +109,16 @@ def write_benchmark(
     data_root: str,
     scenes: list[str],
     dataset: str = "3dmatch",
-    n_pairs: int = 6,
-    n_corr: int = 1500,
+    n_pairs: int | dict[str, int] = 6,
+    n_corr: int | tuple[int, ...] = 1500,
     seed: int = 0,
     outlier_rates: tuple[float, ...] | None = None,
 ) -> None:
     """Write a multi-scene benchmark tree under data_root.
+
+    n_pairs may be a {scene: count} dict — the real 3DMatch benchmark has
+    unequal per-scene pair counts (506 redkitchen ... 54 hotel3, summing to
+    its published 1623; tools/fullscale_sweep.py uses this).
 
     dataset presets follow the reference's per-dataset regimes: 3DMatch
     (room scale ~ meters, noise bound 0.01), 3DLoMatch (same rooms, low
@@ -125,7 +139,7 @@ def write_benchmark(
     for si, scene in enumerate(scenes):
         write_scene(
             os.path.join(data_root, scene),
-            n_pairs=n_pairs,
+            n_pairs=n_pairs[scene] if isinstance(n_pairs, dict) else n_pairs,
             n_corr=n_corr,
             seed=seed + 17 * si,
             **kw,

@@ -281,6 +281,13 @@ def pair_beta_count(
     decomposition (HIGHEST precision) — ~1e-3 relative shifts vs the direct
     (a-b) form can flip razor-edge window membership of individual pairs
     (same property as the dense init, solver/psulvsb.py::_init_stage_dense).
+
+    Exactness bound: the accumulator is an f32 scalar, so the count is
+    exact only while it stays <= 2^24 (~16.7M passing pairs, i.e. all-pass
+    at C ~ 5800). Harmless today — every consumer clamps the result to
+    reduced_cap = 131072 long before f32 rounding kicks in — but a future
+    consumer of the raw count above that regime should switch the kernel
+    to per-tile int32 partials first.
     """
     src_t, dst_t, act = _prep(src, dst, active, max(t_block, c_block))
     beta_arr = jnp.full((1, 1), beta, jnp.float32)
