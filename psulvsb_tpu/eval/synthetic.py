@@ -44,6 +44,80 @@ def synthetic_cloud(n: int, seed: int = 0, dtype=np.float32) -> np.ndarray:
     return pts.astype(dtype)
 
 
+def structured_scene(
+    n: int, seed: int = 0, extent: float = 40.0, dtype=np.float32
+) -> np.ndarray:
+    """Urban-style structured scene: ground plane, box buildings, and
+    vertical poles — the planar/corner/edge structure FPFH keys on (the
+    blobby `synthetic_cloud` has none at outdoor scale, which is why the
+    KITTI-scale example's match quality on it only lower-bounds real
+    scans). Point density is surface-area weighted; every surface carries
+    mild jitter so normals are estimable but not degenerate. Returns
+    (3, n), coordinates spanning roughly ±extent/2 in x/y."""
+    rng = np.random.default_rng(seed)
+    half = extent / 2.0
+    chunks: list[np.ndarray] = []
+
+    def sample_rect(origin, u, v, m):
+        """m points on the parallelogram origin + a*u + b*v, a,b ~ U[0,1]."""
+        a = rng.uniform(size=m)[:, None]
+        b = rng.uniform(size=m)[:, None]
+        return (np.asarray(origin)[None, :] + a * np.asarray(u)[None, :]
+                + b * np.asarray(v)[None, :])
+
+    # Ground plane: 30% of points.
+    n_ground = int(n * 0.30)
+    chunks.append(sample_rect(
+        (-half, -half, 0.0), (extent, 0, 0), (0, extent, 0), n_ground
+    ))
+
+    # Buildings: 60% of points over ~8 boxes; walls + roof sampled
+    # area-weighted, so corners and wall/roof edges appear at natural
+    # density.
+    n_build = int(n * 0.60)
+    boxes = []
+    for _ in range(8):
+        w, d = rng.uniform(4.0, 10.0, size=2)
+        h = rng.uniform(5.0, 15.0)
+        x0 = rng.uniform(-half + 2, half - 12)
+        y0 = rng.uniform(-half + 2, half - 12)
+        boxes.append((x0, y0, w, d, h))
+    areas = np.array([2 * (w + d) * h + w * d for (_, _, w, d, h) in boxes])
+    per_box = (areas / areas.sum() * n_build).astype(int)
+    for (x0, y0, w, d, h), m in zip(boxes, per_box):
+        faces = [
+            ((x0, y0, 0), (w, 0, 0), (0, 0, h), w * h),          # south wall
+            ((x0, y0 + d, 0), (w, 0, 0), (0, 0, h), w * h),      # north wall
+            ((x0, y0, 0), (0, d, 0), (0, 0, h), d * h),          # west wall
+            ((x0 + w, y0, 0), (0, d, 0), (0, 0, h), d * h),      # east wall
+            ((x0, y0, h), (w, 0, 0), (0, d, 0), w * d),          # roof
+        ]
+        fa = np.array([f[3] for f in faces])
+        per_face = rng.multinomial(m, fa / fa.sum())
+        for (origin, u, v, _a), fm in zip(faces, per_face):
+            if fm:
+                chunks.append(sample_rect(origin, u, v, fm))
+
+    # Poles: the remainder, as thin vertical cylinders (edge-like features).
+    n_pole = n - sum(c.shape[0] for c in chunks)
+    if n_pole > 0:
+        k = max(n_pole // 200, 4)
+        centers = rng.uniform(-half + 1, half - 1, size=(k, 2))
+        which = rng.integers(0, k, size=n_pole)
+        ang = rng.uniform(0, 2 * np.pi, size=n_pole)
+        z = rng.uniform(0, 6.0, size=n_pole)
+        r = 0.15
+        chunks.append(np.stack([
+            centers[which, 0] + r * np.cos(ang),
+            centers[which, 1] + r * np.sin(ang),
+            z,
+        ], axis=1))
+
+    pts = np.concatenate(chunks, axis=0)[:n]
+    pts = pts + rng.normal(size=pts.shape) * 0.01  # sensor-like jitter
+    return np.ascontiguousarray(pts.T.astype(dtype))
+
+
 class SyntheticPair(NamedTuple):
     src: jax.Array  # (3, N)
     dst: jax.Array  # (3, N)
