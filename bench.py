@@ -113,9 +113,11 @@ def _flush() -> None:
     wiped the whole round's evidence)."""
     try:
         with open(PARTIAL_PATH + ".tmp", "w") as f:
-            json.dump(OUT, f)
+            # default=str: a stray numpy scalar in OUT must degrade to a
+            # string, not raise out of the flush and kill the bench.
+            json.dump(OUT, f, default=str)
         os.replace(PARTIAL_PATH + ".tmp", PARTIAL_PATH)
-    except OSError:
+    except Exception:  # noqa: BLE001 — flushing must never take down main
         pass
 
 
@@ -126,7 +128,7 @@ def _emit_and_exit(signum=None, _frame=None):
     if signum is not None:
         OUT.setdefault("error", f"terminated by signal {signum}")
     _flush()
-    print(json.dumps(OUT))
+    print(json.dumps(OUT, default=str))
     sys.stdout.flush()
     sys.exit(0 if OUT.get("value") is not None else 1)
 
@@ -298,12 +300,14 @@ def _stage_fns(pair, keep, params):
     }
 
 
-def device_ms_stages(pair, keep, params, k: int = 12) -> dict:
+def device_ms_stages(pair, stage_fns, k: int = 12) -> dict:
     """Scan-amortized device time per solver stage (ms): each stage is
     scanned K times with a carry perturbation on a float input and a
     carry contribution from its output, so XLA cannot hoist or elide the
     repeated work. Inputs are the stage's actual inputs from one real
-    staged solve pass."""
+    staged solve pass (stage_fns = _stage_fns(...), computed once by the
+    caller — binding it runs the eager staged pass, which is device work
+    worth not duplicating across consumers)."""
     import numpy as np
 
     src = pair.src
@@ -327,19 +331,16 @@ def device_ms_stages(pair, keep, params, k: int = 12) -> dict:
             best = min(best, time.perf_counter() - t0)
         return round(best / k * 1000.0, 2)
 
-    return {
-        name: scan_of(fn, leaf)
-        for name, (fn, leaf) in _stage_fns(pair, keep, params).items()
-    }
+    return {name: scan_of(fn, leaf) for name, (fn, leaf) in stage_fns.items()}
 
 
-def stage_bytes_accessed(pair, keep, params) -> dict:
+def stage_bytes_accessed(pair, stage_fns) -> dict:
     """XLA cost-analysis bytes-accessed per solver stage (one compiled
     stage program each). Combined with device_ms_stage_* this separates
     bandwidth-bound stages (bytes/time near the HBM roofline) from
     dispatch/overhead-bound ones (VERDICT r3 #5)."""
     out = {}
-    for name, (fn, _leaf) in _stage_fns(pair, keep, params).items():
+    for name, (fn, _leaf) in stage_fns.items():
         try:
             compiled = (
                 jax.jit(fn).lower(pair.src, jax.random.PRNGKey(0)).compile()
@@ -351,6 +352,38 @@ def stage_bytes_accessed(pair, keep, params) -> dict:
         except Exception:  # noqa: BLE001 — per-stage isolation
             out[name] = None
     return out
+
+
+def _ensure_dataset(root, scenes, dataset, n_pairs, n_corr, seed) -> None:
+    """Generate the benchmark tree only when the existing one's recorded
+    generation config doesn't match (generation is deterministic in these
+    inputs). Keeping matching data across protocol retries is what lets
+    run_benchmark_batched(resume=True) resume at the completed-scene
+    boundary instead of re-running hours of solves after a tunnel abort;
+    a config mismatch wipes root (results live under it too — stale data
+    must not back resumed stats)."""
+    from psulvsb_tpu.eval.make_dataset import write_benchmark
+
+    cfg = {
+        "dataset": dataset, "scenes": list(scenes),
+        "n_pairs": n_pairs,
+        "n_corr": list(n_corr) if isinstance(n_corr, tuple) else n_corr,
+        "seed": seed,
+    }
+    cfg_path = os.path.join(root, "gen_config.json")
+    try:
+        with open(cfg_path) as f:
+            if json.load(f) == cfg:
+                return
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    write_benchmark(
+        root, scenes, dataset=dataset, n_pairs=n_pairs, n_corr=n_corr,
+        seed=seed,
+    )
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
 
 
 def realdata_benchmark(
@@ -372,15 +405,11 @@ def realdata_benchmark(
     test scale in [1, 5), estimate_scaling=True, and success additionally
     requires scale error <= 0.1 (criteria include max_scale_err)."""
     from psulvsb_tpu.eval.batch_harness import run_benchmark_batched
-    from psulvsb_tpu.eval.make_dataset import write_benchmark
 
     root = f"/tmp/psulvsb_bench_{dataset}_r4" + ("_us" if unknown_scale else "")
     out_dir = os.path.join(root, "_results")
-    shutil.rmtree(root, ignore_errors=True)
     scenes = [f"scene{i}" for i in range(n_scenes)]
-    write_benchmark(
-        root, scenes, dataset=dataset, n_pairs=n_pairs, n_corr=n_corr, seed=11
-    )
+    _ensure_dataset(root, scenes, dataset, n_pairs, n_corr, seed=11)
 
     es = dict(estimate_scaling=unknown_scale, **REALDATA_CAPS)
     if dataset == "kitti":
@@ -397,14 +426,24 @@ def realdata_benchmark(
 
     warm_scene(os.path.join(root, scenes[0]), params)
 
+    # resume=True: within one bench run, a protocol retried after a tunnel
+    # abort resumes at the completed-scene boundary (sidecar fingerprints
+    # gate staleness; the timed wall then covers only the re-swept tail,
+    # and resumed stats keep their own recorded timing).
     t0 = time.monotonic()
     summary = run_benchmark_batched(
         root, out_dir, dataset=dataset, scenes=scenes, params=params,
-        ddtime=ddtime, unknown_scale=unknown_scale,
+        ddtime=ddtime, unknown_scale=unknown_scale, resume=True,
     )
     wall = time.monotonic() - t0
     total = sum(s["pairs"] for s in summary.values())
     succ = sum(round(s["recall"] * s["pairs"]) for s in summary.values())
+    # Throughput must cover only the scenes actually swept THIS call —
+    # resumed scenes contribute stored stats but no wall time, so counting
+    # them would inflate pairs/s arbitrarily.
+    swept_pairs = sum(
+        s["pairs"] for s in summary.values() if s.get("timing") != "resumed"
+    )
     # Success-count-weighted error/time means: per-scene averages are over
     # that scene's successes only (0.0 when none), so a zero-success scene
     # must carry zero weight, not dilute the aggregate.
@@ -427,9 +466,15 @@ def realdata_benchmark(
         ),
         # Distinct conventions, both reported: pairs/s is end-to-end pair
         # throughput; solves/s counts every best-of-ddtime retry dispatched.
-        "sweep_pairs_per_s": round(total / wall, 2) if wall > 0 else 0.0,
-        "sweep_solves_per_s": round(total * ddtime / wall, 2) if wall > 0 else 0.0,
+        "sweep_pairs_per_s": (
+            round(swept_pairs / wall, 2) if wall > 0 and swept_pairs else None
+        ),
+        "sweep_solves_per_s": (
+            round(swept_pairs * ddtime / wall, 2)
+            if wall > 0 and swept_pairs else None
+        ),
         "sweep_wall_s": round(wall, 1),
+        "resumed_pairs": total - swept_pairs,
     }
 
 
@@ -601,6 +646,15 @@ def main():
 
     ns = s_5000()
 
+    # Bind the staged solver's stages to representative inputs ONCE (the
+    # binding itself runs an eager staged pass on the device); both the
+    # device-time and the bytes-accessed sections consume the same dict.
+    try:
+        stage_fns = _stage_fns(pair, keep, params)
+    except Exception as e:  # noqa: BLE001 — diagnostic capture
+        stage_fns = None
+        OUT["error_stage_bind"] = f"{type(e).__name__}: {e}"[:300]
+
     @section("device_time")
     def s_device():
         # Device-time attribution (scan-amortized; VERDICT r2 #6).
@@ -610,7 +664,8 @@ def main():
             pair5, keep5 = ns
             OUT["device_ms_solve_5000"] = device_ms_fused(pair5, keep5, params)
             _flush()
-        OUT["device_ms_stage_1889"] = device_ms_stages(pair, keep, params)
+        if stage_fns is not None:
+            OUT["device_ms_stage_1889"] = device_ms_stages(pair, stage_fns)
 
     s_device()
 
@@ -619,7 +674,9 @@ def main():
         # Per-stage bytes accessed + implied HBM-BW utilization (VERDICT r3
         # #5): which stages sit near the bandwidth roofline vs which are
         # overhead-bound and therefore fusable/shrinkable.
-        sb = stage_bytes_accessed(pair, keep, params)
+        if stage_fns is None:
+            return
+        sb = stage_bytes_accessed(pair, stage_fns)
         OUT["stage_bytes_1889"] = sb
         dms = OUT.get("device_ms_stage_1889") or {}
         OUT["stage_hbm_bw_util_pct_1889"] = {

@@ -168,22 +168,29 @@ def warm_scene(
     descriptor: str = "fpfh",
     mesh=None,
 ) -> None:
-    """Compile + one dispatch of the chunk program for a scene's pad bucket
-    (untimed; the C++ reference has no compile step). Reads the scene's
-    first listed pair so callers don't re-implement the corr-file naming,
-    bucket padding, or keep-mask conventions this module owns."""
+    """Compile + one dispatch of the chunk program for EVERY pad bucket a
+    scene's pairs occupy (untimed; the C++ reference has no compile step).
+    Mixed-cardinality scenes span several buckets — warming only the first
+    pair's bucket would land the other buckets' multi-minute chunk
+    compiles inside the caller's timed sweep (review r4). Reads the
+    scene's own pair files so callers don't re-implement the corr-file
+    naming, bucket padding, or keep-mask conventions this module owns."""
     pairs = read_pair_labels(os.path.join(scene_dir, "pairs.txt"))
-    a, b = pairs[0]
     suffix = "@corr.txt" if descriptor == "fpfh" else "@corr_fcgf.txt"
-    src, _dst = read_corr_file(
-        os.path.join(scene_dir, f"cloud_bin_{a}+cloud_bin_{b}{suffix}")
-    )
-    bucket = pad_to_bucket(src.shape[1])
-    src0 = jnp.asarray(pad_columns(np.asarray(src, np.float32), bucket))
-    keep0 = jnp.where(
-        jnp.arange(bucket) < src.shape[1], 1, -2
-    ).astype(jnp.int32)
-    _warm_chunk(src0, src0, keep0, jax.random.PRNGKey(0), params, mesh)
+    warmed_buckets: set[int] = set()
+    for a, b in pairs:
+        src, _dst = read_corr_file(
+            os.path.join(scene_dir, f"cloud_bin_{a}+cloud_bin_{b}{suffix}")
+        )
+        bucket = pad_to_bucket(src.shape[1])
+        if bucket in warmed_buckets:
+            continue
+        warmed_buckets.add(bucket)
+        src0 = jnp.asarray(pad_columns(np.asarray(src, np.float32), bucket))
+        keep0 = jnp.where(
+            jnp.arange(bucket) < src.shape[1], 1, -2
+        ).astype(jnp.int32)
+        _warm_chunk(src0, src0, keep0, jax.random.PRNGKey(0), params, mesh)
 
 
 def run_scene_batched(

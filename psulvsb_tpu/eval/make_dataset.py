@@ -48,10 +48,14 @@ def write_scene(
     rotation is unconstrained (hostile large-angle cases included by
     construction — random_se3 draws the angle uniform over [0, pi)).
 
-    n_corr may be a tuple — pair i then carries n_corr[i % len]
-    correspondences, which is what real FPFH/FCGF extraction produces
-    (pair cardinality varies with overlap) and what exercises several pad
-    buckets inside one scene sweep (utils/padding.DEFAULT_PAD_BUCKETS)."""
+    n_corr may be a tuple — pair cardinality then cycles through it, which
+    is what real FPFH/FCGF extraction produces (cardinality varies with
+    overlap) and what exercises several pad buckets inside one scene sweep
+    (utils/padding.DEFAULT_PAD_BUCKETS). The size index advances by one
+    extra step per full outlier-rate cycle, so when len(n_corr) divides
+    len(outlier_rates) a given size still sees every rate over the scene —
+    otherwise size would be confounded with difficulty (the largest bucket
+    would always get the hardest pairs)."""
     os.makedirs(scene_dir, exist_ok=True)
     suffix = "@corr.txt" if descriptor == "fpfh" else "@corr_fcgf.txt"
     gt_suffix = "@GTmat.txt" if descriptor == "fpfh" else "@GTmat_fcgf.txt"
@@ -73,7 +77,7 @@ def write_scene(
     for i in range(n_pairs):
         a, b = i, i + 1
         rate = outlier_rates[i % len(outlier_rates)]
-        base = bases[sizes[i % len(sizes)]]
+        base = bases[sizes[(i + i // len(outlier_rates)) % len(sizes)]]
         with jax.default_device(cpu):
             pair = make_synthetic_pair(
                 jax.random.PRNGKey(seed * 1000 + i),

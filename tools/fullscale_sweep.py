@@ -78,13 +78,29 @@ def sweep(dataset: str, data_root: str, out_dir: str, ddtime: int) -> dict:
         raise ValueError(dataset)
 
     root = os.path.join(data_root, dataset)
-    # Generation is deterministic in (scene order, seed); skip when the
-    # last scene's label file already exists so resume never regenerates.
-    last = os.path.join(root, scenes[-1], "pairs.txt")
-    if not os.path.exists(last):
+    # Generation is deterministic in this config; skip only when the
+    # recorded generation config matches exactly (a bare existence check
+    # would silently sweep stale data after a config edit — review r4).
+    cfg = {
+        "dataset": dataset, "scenes": scenes, "n_pairs": n_pairs,
+        "n_corr": list(n_corr), "seed": 11,
+    }
+    cfg_path = os.path.join(root, "gen_config.json")
+    have = None
+    try:
+        with open(cfg_path) as f:
+            have = json.load(f)
+    except (OSError, ValueError):
+        pass
+    if have != cfg:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
         t0 = time.monotonic()
         write_benchmark(root, scenes, dataset=dataset, n_pairs=n_pairs,
                         n_corr=n_corr, seed=11)
+        with open(cfg_path, "w") as f:
+            json.dump(cfg, f)
         print(f"[fullscale] generated {dataset} in "
               f"{time.monotonic() - t0:.0f} s", file=sys.stderr)
 

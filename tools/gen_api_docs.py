@@ -82,6 +82,22 @@ def _first_para(doc: str | None) -> str:
     return inspect.cleandoc(doc).split("\n\n")[0].replace("\n", " ")
 
 
+def _is_function_like(obj) -> bool:
+    """True for plain functions AND transform-wrapped callables (jax.jit
+    returns a PjitFunction, which fails inspect.isfunction — the primary
+    entry points of most compute modules are jit-wrapped at definition)."""
+    return inspect.isfunction(obj) or (
+        callable(obj)
+        and not inspect.isclass(obj)
+        and inspect.isfunction(getattr(obj, "__wrapped__", None))
+    )
+
+
+def _defining_module(obj) -> str | None:
+    target = getattr(obj, "__wrapped__", obj)
+    return getattr(target, "__module__", None)
+
+
 def _public_names(mod) -> list[str]:
     if hasattr(mod, "__all__"):
         return list(mod.__all__)
@@ -89,19 +105,26 @@ def _public_names(mod) -> list[str]:
     for n, obj in vars(mod).items():
         if n.startswith("_"):
             continue
-        if not (inspect.isfunction(obj) or inspect.isclass(obj)):
+        if not (_is_function_like(obj) or inspect.isclass(obj)):
             continue
-        if getattr(obj, "__module__", None) != mod.__name__:
+        if _defining_module(obj) != mod.__name__:
             continue
         names.append(n)
     return names
 
 
 def _sig(obj) -> str:
+    target = getattr(obj, "__wrapped__", obj)
     try:
-        return str(inspect.signature(obj))
+        return str(inspect.signature(target))
     except (ValueError, TypeError):
         return "(...)"
+
+
+def _doc_of(obj) -> str:
+    return _first_para(
+        obj.__doc__ or getattr(getattr(obj, "__wrapped__", None), "__doc__", None)
+    )
 
 
 def render() -> str:
@@ -147,15 +170,17 @@ def render() -> str:
                     if mp:
                         lines.append(f"  — {mp}")
                 lines.append("")
-            elif inspect.isfunction(obj):
+            elif _is_function_like(obj):
                 lines.append(f"### `{name}{_sig(obj)}`")
                 lines.append("")
-                p = _first_para(obj.__doc__)
+                p = _doc_of(obj)
                 if p:
                     lines.append(p)
                     lines.append("")
             else:
-                lines.append(f"### `{name}` = `{obj!r}`")
+                # Constants etc. — name only; repr may embed addresses,
+                # which would make regeneration nondeterministic.
+                lines.append(f"### `{name}`")
                 lines.append("")
     return "\n".join(lines) + "\n"
 
