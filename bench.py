@@ -657,6 +657,32 @@ def main():
 
     @section("device_time")
     def s_device():
+        # Measurement floor of the scan-amortization methodology itself: a
+        # near-trivial body (one multiply + reduction on the (3, C) input)
+        # under the same scan/carry/fold_in harness. Per-stage numbers are
+        # only meaningful above this floor — r3's suspiciously uniform
+        # ~2.2-2.9 ms stages motivated recording it.
+        import numpy as np
+
+        k = 12
+
+        @jax.jit
+        def scan_noop(src_in, key_in):
+            def body(carry, i):
+                x = src_in + carry * 1e-9
+                return carry + jnp.sum(x) * 1e-20, None
+
+            cc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(k))
+            return cc
+
+        _ = np.asarray(scan_noop(pair.src, jax.random.PRNGKey(0)))
+        best = float("inf")
+        for i in (1, 2):
+            t0 = time.perf_counter()
+            _ = np.asarray(scan_noop(pair.src, jax.random.PRNGKey(i)))
+            best = min(best, time.perf_counter() - t0)
+        OUT["device_ms_noop"] = round(best / k * 1000.0, 3)
+
         # Device-time attribution (scan-amortized; VERDICT r2 #6).
         OUT["device_ms_solve_1889"] = device_ms_fused(pair, keep, params)
         _flush()
