@@ -45,9 +45,19 @@ def main():
         src_cloud = read_ply(args.ply[0])
         dst_cloud = read_ply(args.ply[1])
     else:
-        src_cloud = synthetic_cloud(800, seed=0)
-        gt = random_se3(jax.random.PRNGKey(1), max_translation=1.0)
-        dst_cloud = np.asarray(transform_points(gt, jnp.asarray(src_cloud)))
+        # Default to the reference's shipped REAL indoor scan pair when
+        # present (the same data its FPFH+ICP example registers); fall
+        # back to a synthetic pair with a known ground truth.
+        from psulvsb_tpu.eval.realscan import REALSCAN_PLYS, realscan_available
+
+        if realscan_available():
+            print(f"using reference scan pair: {REALSCAN_PLYS[0]}")
+            src_cloud = read_ply(REALSCAN_PLYS[0])
+            dst_cloud = read_ply(REALSCAN_PLYS[1])
+        else:
+            src_cloud = synthetic_cloud(800, seed=0)
+            gt = random_se3(jax.random.PRNGKey(1), max_translation=1.0)
+            dst_cloud = np.asarray(transform_points(gt, jnp.asarray(src_cloud)))
 
     def features(cloud):
         down = voxel_downsample(cloud, args.voxel)
