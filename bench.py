@@ -200,12 +200,15 @@ def stage_breakdown(pair, keep, params) -> dict:
     return {k: round(v, 4) for k, v in out.items()}
 
 
-def device_ms_fused(pair, keep, params, k: int = 12) -> float:
+def device_ms_fused(pair, keep, params, k: int = 48) -> float:
     """Scan-amortized device time of one fused solve (ms): K solves inside
     ONE jitted lax.scan with a carry data dependency (carry perturbs the
     input by 1e-9, each solve's scale feeds the carry), synced by a scalar
     readback, divided by K. Removes the ~25 ms/dispatch tunnel RTT that
-    dominates wall-clock timings of single dispatches."""
+    dominates wall-clock timings of single dispatches. K sets the
+    measurement floor: the one RTT the dispatch still pays shows up as
+    ~RTT/K per solve (measured directly as device_ms_noop) — r3 ran K=12
+    (floor 2.2 ms, as large as most stages); K=48 puts the floor ~0.5 ms."""
 
     @jax.jit
     def scan_solve(src, dst, keep, key):
@@ -267,16 +270,29 @@ def _stage_fns(pair, keep, params):
     )
 
     return {
+        # Output leaves must consume EVERY expensive output: r3's init leaf
+        # read only red_count, so XLA dead-code-eliminated the compaction
+        # top-k (>half the stage) and init measured at the scan floor.
         "init": (
             lambda s, kk: _init_stage(s, dst, keep, params, kk),
-            lambda o: o[2].astype(jnp.float32),
+            lambda o: (
+                o[2].astype(jnp.float32)
+                + jnp.sum(o[0]).astype(jnp.float32) * 1e-9
+                + jnp.sum(o[1]).astype(jnp.float32) * 1e-9
+                + o[3].astype(jnp.float32)
+            ),
         ),
         "sample": (
             lambda s, kk: _sample_stage(
                 red_i, red_j, red_count, pool,
                 jnp.asarray(l_rate, dtype) + s[0, 0] * 1e-12, params, kk, c,
             ),
-            lambda o: o[3].astype(jnp.float32),
+            lambda o: (
+                o[3].astype(jnp.float32)
+                + jnp.sum(o[0]).astype(jnp.float32) * 1e-9
+                + jnp.sum(o[1]).astype(jnp.float32) * 1e-9
+                + jnp.sum(o[4]).astype(jnp.float32)
+            ),
         ),
         "local": (
             lambda s, kk: _local_stage(
@@ -300,7 +316,7 @@ def _stage_fns(pair, keep, params):
     }
 
 
-def device_ms_stages(pair, stage_fns, k: int = 12) -> dict:
+def device_ms_stages(pair, stage_fns, k: int = 48) -> dict:
     """Scan-amortized device time per solver stage (ms): each stage is
     scanned K times with a carry perturbation on a float input and a
     carry contribution from its output, so XLA cannot hoist or elide the
@@ -661,10 +677,11 @@ def main():
         # near-trivial body (one multiply + reduction on the (3, C) input)
         # under the same scan/carry/fold_in harness. Per-stage numbers are
         # only meaningful above this floor — r3's suspiciously uniform
-        # ~2.2-2.9 ms stages motivated recording it.
+        # ~2.2-2.9 ms stages motivated recording it; measured 2.22 ms at
+        # K=12 (= the one remaining tunnel RTT / K), hence K=48 here.
         import numpy as np
 
-        k = 12
+        k = 48
 
         @jax.jit
         def scan_noop(src_in, key_in):

@@ -31,6 +31,7 @@ run ~0.01-1 s vs the 60 s gate).
 
 from __future__ import annotations
 
+import math
 import os
 import time
 
@@ -338,7 +339,13 @@ def run_scene_batched(
                     time_s=amortized,
                     success=False,
                 )
-                if best is None or res.rmse < best.rmse:
+                # NaN-safe best-of: a NaN RMSE (collapsed solve — e.g. the
+                # prefilter discarding nearly every point) compares False
+                # against everything, so `res.rmse < best.rmse` would freeze
+                # a retry-0 NaN as "best" and mask every later good retry
+                # (observed: the unknown-scale protocol's one residual
+                # failure was exactly this).
+                if best is None or _rmse_key(res) < _rmse_key(best):
                     best = res
             # Time gate excluded on purpose: amortized batch time would pass
             # the 60 s budget trivially (see module docstring) — gating on it
@@ -418,7 +425,25 @@ def _scene_fingerprint(params, ddtime, unknown_scale, descriptor, seed,
         # Invalidates pre-r4 sidecars: r4 removed the (never-binding) time
         # gate from the batched success check.
         "time_gate": "excluded-amortized",
+        # Solver CODE changes are invisible to repr(params); the package
+        # version ties resumes to the code that produced them (a stale
+        # sidecar from an older solver silently masked a behavior change
+        # during r4's pool_cap work).
+        "version": _pkg_version(),
     }
+
+
+def _pkg_version() -> str:
+    from psulvsb_tpu import __version__
+
+    return __version__
+
+
+def _rmse_key(r) -> float:
+    """Best-of-ddtime ordering key: NaN RMSE sorts WORST (float('nan')
+    comparisons are all False, which would otherwise freeze a NaN as the
+    running best)."""
+    return r.rmse if math.isfinite(r.rmse) else math.inf
 
 
 def _resume_scene(out_csv: str, fingerprint: dict) -> dict | None:

@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import math
 import numpy as np
 
 from psulvsb_tpu.core.metrics import angular_error_deg_np
@@ -71,6 +72,14 @@ class SuccessCriteria(NamedTuple):
         0.6 * 0.15/0.1 = 0.9 m at the same 5 deg angle gate."""
         return SuccessCriteria(0.1, 5.0, 0.9, 60.0)
 
+
+
+def _rmse_key(r) -> float:
+    """Best-of-retry ordering key: NaN RMSE sorts WORST. float('nan')
+    comparisons are all False, so `r.rmse < best.rmse` would freeze a
+    retry-0 NaN (collapsed solve, e.g. prefilter discarding nearly every
+    point) as the running best and mask every later good retry."""
+    return r.rmse if math.isfinite(r.rmse) else math.inf
 
 def read_corr_file(path: str) -> tuple[np.ndarray, np.ndarray]:
     """'sx sy sz tx ty tz' per line -> ((3, C) src, (3, C) dst)."""
@@ -219,13 +228,15 @@ def evaluate_pair(
             time_s=res.elapsed_s,
             success=False,
         )
-        if best is None or r.rmse < best.rmse:
+        if best is None or _rmse_key(r) < _rmse_key(best):
             best = r
     # Fallback only when the kept PSULVSB result is clearly failed (RMSE
     # far beyond the noise bound) — the harness's best-of rule already
     # consults GT RMSE, so this gate adds no new information channel, and
     # easy pairs keep their fast-path timing.
-    if decoupled_fallback and best.rmse > 5.0 * params.noise_bound_dataset:
+    if decoupled_fallback and not (
+        best.rmse <= 5.0 * params.noise_bound_dataset
+    ):  # NaN RMSE must also trigger the fallback
         from psulvsb_tpu.solver.classic import solve_decoupled
 
         t0 = time.monotonic()
@@ -254,7 +265,7 @@ def evaluate_pair(
             time_s=elapsed,
             success=False,
         )
-        if r.rmse < best.rmse:
+        if _rmse_key(r) < _rmse_key(best):
             best = r
     ok = (
         best.scale_error <= criteria.max_scale_err

@@ -124,12 +124,18 @@ class SolverParams:
     # yields a near-correct transform, which seeds the warm state: the local
     # loop baselines every hypothesis batch against it (a hypothesis must
     # beat its sampled inlier count to displace it) and host scoring adopts
-    # it. Fully in-jit; known-scale only (both orchestrators ignore the flag
-    # under estimate_scaling): the beta window (user noise bound) makes the
-    # inlier clique's core number dominate the random-coincidence edges,
-    # while the peak+-1 ratio graph is loose enough that greedy cliques of
-    # coincidental outliers can poison the seed (measured: RE 161 deg at 97%
-    # mismatch outliers with scale estimation on).
+    # it. Fully in-jit. The seed graph is rebuilt EXACTLY over the (C, C)
+    # pair grid at seed time (known scale: beta window; estimate_scaling:
+    # peak+-1 ratio bins with the peak from the pool-member median) rather
+    # than scattered from the materialized pool — the pool is a uniform
+    # thinning (config.pool_cap) and edge thinning destroys cliqueness
+    # (measured 3DLoMatch recall 1.0 -> 0.967 from a thinned seed graph).
+    # Under estimate_scaling the seed fires too: r4 ungated it after the
+    # full-scale unknownScale protocol measured recall 0.967 -> 1.0 from
+    # the ratio-window seed (7 of 8 failures were GNC plateaus with a
+    # correct peak), with no poisoning observed across hostile 95-97%
+    # sweeps (an earlier pool-edge ratio graph DID poison — RE 161 deg —
+    # which is why pre-r4 builds gated it off).
     #
     # Modes: "auto" (default) runs the seed LAZILY — inside the round loop,
     # once, on the first stagnation-escalation signal — so easy pairs never
@@ -190,6 +196,26 @@ class SolverParams:
     # every per-round op works on this compacted index array instead. When
     # the true reduced set exceeds the cap it is uniformly decimated.
     reduced_cap: int = 131072
+    # Slot capacity of the MATERIALIZED reduced pool (the compacted
+    # (i, j) index arrays the rounds actually sample from). Decoupled from
+    # reduced_cap (which only clamps the |reduced| COUNT driving the
+    # floor(|reduced| * rate) sample-size rule): per round the sampler
+    # consumes at most sampled_cap TIMs, and drawing without replacement
+    # from a uniform random pool-subset of the reduced set is marginally
+    # identical to drawing from the full set (exchangeability) — only the
+    # cross-round joint distribution correlates slightly, a divergence
+    # class the reference itself has (it re-samples one fixed reduced set
+    # every round). Materializing fewer slots is a large device-time win:
+    # the dense init's hashed-priority compaction is an approx_max_k whose
+    # cost scales with k (measured on v5e at C=1889: 4.9 ms at 131072
+    # slots -> 1.1 ms at 16384; the sort was >half the whole solve).
+    pool_cap: int = 16384
+    # Pool slots the init fill leaves FREE so self-update appends always
+    # have somewhere to land (with fill == capacity, a reduced set larger
+    # than the pool would start full and silently drop every self-update
+    # TIM — worse than the old 131072 behavior at bunny scale). Effective
+    # reserve = min(pool_reserve, pool // 8).
+    pool_reserve: int = 2048
     # Cap on points admitted per self-update round and on the kept-inlier
     # member list the new TIMs pair against (registration.cc:803-827).
     self_update_new_cap: int = 64

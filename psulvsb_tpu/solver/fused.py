@@ -81,7 +81,7 @@ def psulvsb_register(
     b_rates = jnp.asarray([r[1] for r in RATE_SCHEDULE], dtype)
     last_rate = len(RATE_SCHEDULE) - 1
 
-    lazy_clique = params.clique_lazy and not params.estimate_scaling
+    lazy_clique = params.clique_lazy
 
     def round_body(carry: _RoundCarry, _):
         def run(carry: _RoundCarry) -> _RoundCarry:
@@ -138,7 +138,8 @@ def psulvsb_register(
 
                 def run_seed(w):
                     sw, seed_ok = _clique_seed_stage(
-                        ori_src, ori_dst, red_i, red_j, red_pool, params, k_seed
+                        ori_src, ori_dst, red_i, red_j, red_pool, params,
+                        k_seed, hs.keep_mask == 1,
                     )
                     return WarmState(
                         scale=jnp.where(seed_ok, sw.scale, w.scale),
@@ -191,7 +192,7 @@ def psulvsb_register(
             ),
             first_time=~gror_ok,
         )
-    if params.clique_eager and not params.estimate_scaling:
+    if params.clique_eager:
         # Eager clique-seeded warm start (solver/psulvsb.py::
         # _clique_seed_stage; clique_init="auto" instead defers the seed to
         # the first escalation inside the round loop below):
@@ -201,7 +202,8 @@ def psulvsb_register(
         # (it is built from this pair's own consistency graph).
         key, k_seed = jax.random.split(key)
         sw, seed_ok = _clique_seed_stage(
-            ori_src, ori_dst, red_i0, red_j0, red_pool0, params, k_seed
+            ori_src, ori_dst, red_i0, red_j0, red_pool0, params, k_seed,
+            keep_mask == 1,
         )
         warm0 = WarmState(
             scale=jnp.where(seed_ok, sw.scale, warm0.scale),

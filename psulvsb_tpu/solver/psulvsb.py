@@ -108,6 +108,28 @@ def _pair_window_test(
     return jnp.abs(v1 - v2) <= beta
 
 
+def _pool_caps(params: SolverParams) -> tuple[int, int]:
+    """(pool slot capacity, init fill target) for the materialized reduced
+    pool. Fill stays below capacity so self-update appends always have
+    reserve slots (config.pool_cap / pool_reserve)."""
+    pool = min(params.pool_cap, params.reduced_cap)
+    fill = pool - min(params.pool_reserve, pool // 8)
+    return pool, fill
+
+
+def _pad_pool(red_i: jax.Array, red_j: jax.Array, pool: int):
+    """Zero-pad compacted index arrays from fill size up to pool capacity
+    (padding slots are never valid — consumers gate on slot < pool_count —
+    but must hold safe gather indices)."""
+    extra = pool - red_i.shape[0]
+    if extra <= 0:
+        return red_i, red_j
+    return (
+        jnp.pad(red_i, (0, extra)),
+        jnp.pad(red_j, (0, extra)),
+    )
+
+
 def _init_stage_sampled(
     ori_src: jax.Array,
     ori_dst: jax.Array,
@@ -177,7 +199,7 @@ def _fill_reduced_pool(
     init_reject_budget random pairs, keep window-test passers (uniform over
     the reduced set), compact scatter-free."""
     c = ori_src.shape[1]
-    r_cap = params.reduced_cap
+    pool_cap, fill_cap = _pool_caps(params)
     budget = params.init_reject_budget
     k_draw, k_compact = jax.random.split(key)
     pi, pj = _draw_pairs(k_draw, budget, c)
@@ -188,14 +210,16 @@ def _fill_reduced_pool(
     )
     accept = jnp.sum(member, dtype=jnp.int32)
     red_count_est = jnp.minimum(
-        (accept.astype(jnp.float32) / budget * n_l).astype(jnp.int32), r_cap
+        (accept.astype(jnp.float32) / budget * n_l).astype(jnp.int32),
+        params.reduced_cap,
     )
-    # The pool holds min(accept, r_cap) actual members; red_count (the
+    # The pool holds min(accept, fill_cap) actual members; red_count (the
     # |reduced| size estimate) may exceed the pool — sampling clamps to the
     # pool size.
     red_i, red_j, pool = masked_random_compact(
-        k_compact, member, pi, pj, r_cap, max_index=c
+        k_compact, member, pi, pj, fill_cap, max_index=c
     )
+    red_i, red_j = _pad_pool(red_i, red_j, pool_cap)
     return red_i, red_j, red_count_est, pool
 
 
@@ -311,8 +335,11 @@ def _init_stage_dense(
     priority + `approx_max_k` (TPU-native partial reduction; on CPU it
     lowers to exact top_k): the hash tie-breaks uniformly, so an over-cap
     reduced set is thinned uniformly exactly as masked_random_compact does.
-    Measured on v5e at C=5000: 3.9 ms vs 60.8 ms for the rejection-fill
-    path and vs ~35 ms for the gather sweep (device time, amortized).
+    The compaction's cost scales with the slot count k — at k = 131072 XLA
+    falls back to a FULL sort of the C^2 priority array (measured 4.9 ms
+    at C=1889 on v5e, over half the whole solve); the 16384-slot default
+    pool (config.pool_cap) runs the same stage in ~1.0 ms. Rejection fill
+    measured 60.8 ms and the gather sweep ~35 ms at C=5000 for comparison.
 
     Numerics: the decomposition shifts norms by ~1e-3 relative vs the
     direct (a-b) form, so razor-edge window boundaries can flip membership
@@ -326,7 +353,7 @@ def _init_stage_dense(
     from psulvsb_tpu.ops.pallas_hist import exact_peak_bin
 
     c = ori_src.shape[1]
-    r_cap = params.reduced_cap
+    pool_cap, fill_cap = _pool_caps(params)
     active = keep_mask == 1
     k_peak, k_hash = jax.random.split(key)
 
@@ -377,7 +404,7 @@ def _init_stage_dense(
         beta = 2.0 * params.noise_bound * np.sqrt(params.cbar2)
         member = (jnp.abs(v1 - v2) <= beta) & valid
 
-    red_count = jnp.minimum(jnp.sum(member, dtype=jnp.int32), r_cap)
+    red_count = jnp.minimum(jnp.sum(member, dtype=jnp.int32), params.reduced_cap)
 
     # Multiplicative-xorshift hash of the flat pair position as the random
     # priority (threefry over 25M lanes would dominate the stage).
@@ -391,11 +418,11 @@ def _init_stage_dense(
     h = h * jnp.uint32(0x45D9F3B)
     h = h ^ (h >> 16)
     pri = jnp.where(member, h.astype(jnp.float32), -1.0).reshape(-1)
-    k = min(r_cap, c * c)  # approx_max_k needs k <= input size (small C)
+    k = min(fill_cap, c * c)  # approx_max_k needs k <= input size (small C)
     vals, idx = jax.lax.approx_max_k(pri, k)
-    if k < r_cap:
-        vals = jnp.pad(vals, (0, r_cap - k), constant_values=-1.0)
-        idx = jnp.pad(idx, (0, r_cap - k))
+    if k < pool_cap:
+        vals = jnp.pad(vals, (0, pool_cap - k), constant_values=-1.0)
+        idx = jnp.pad(idx, (0, pool_cap - k))
     ok = vals >= 0.0
     idx = idx.astype(jnp.uint32)
     red_i = jnp.where(ok, (idx // c).astype(jnp.int32), 0)
@@ -454,7 +481,6 @@ def _init_stage(
         return _init_stage_exact_beta(ori_src, ori_dst, keep_mask, params, key)
     if mode == "dense":
         return _init_stage_dense(ori_src, ori_dst, keep_mask, params, key)
-    r_cap = params.reduced_cap
     ii_np, jj_np = triu_pair_indices(c)
     idx_i, idx_j = jnp.asarray(ii_np), jnp.asarray(jj_np)
 
@@ -489,12 +515,17 @@ def _init_stage(
         reduced_mask = inliers
 
     # Scatter-free compaction; the random sort keys double as the uniform
-    # decimation when the reduced set overflows the cap (plain cumsum
+    # decimation when the reduced set overflows the pool (plain cumsum
     # compaction would keep lexicographically-first pairs — biased low-i).
-    red_i, red_j, red_count = masked_random_compact(
-        key, reduced_mask, idx_i, idx_j, r_cap, max_index=c
+    pool_cap, fill_cap = _pool_caps(params)
+    red_count = jnp.minimum(
+        jnp.sum(reduced_mask, dtype=jnp.int32), params.reduced_cap
     )
-    return red_i, red_j, red_count, red_count
+    red_i, red_j, pool = masked_random_compact(
+        key, reduced_mask, idx_i, idx_j, fill_cap, max_index=c
+    )
+    red_i, red_j = _pad_pool(red_i, red_j, pool_cap)
+    return red_i, red_j, red_count, pool
 
 
 # =============================================================================
@@ -511,6 +542,7 @@ def _clique_seed_stage(
     red_pool: jax.Array,
     params: SolverParams,
     key: jax.Array,
+    active: jax.Array | None = None,
 ):
     """Greedy clique over the reduced-set consistency graph + one chain-TIM
     decoupled solve over the clique points, producing a WarmState seed
@@ -524,16 +556,84 @@ def _clique_seed_stage(
     already-compacted reduced set, so it costs one (C, C) adjacency scatter
     and a ~clique_cap-sized decoupled solve per run.
 
+    When `active` (the current correspondence mask over points) is given
+    and C fits the dense window, the consistency graph is rebuilt EXACTLY
+    over the (C, C) pair grid instead of scattered from the materialized
+    pool edges: the pool is a uniform thinning of the reduced set
+    (config.pool_cap) and edge thinning destroys cliqueness — measured
+    3DLoMatch-protocol recall 1.0 -> 0.967 when the seed graph inherited a
+    14336-slot pool. Known scale uses the beta window; estimate_scaling
+    uses the ratio-histogram window (|bin - peak| <= 1, the reduced-set
+    membership test, registration.cc:744-752) with the peak taken as the
+    median bin of the pool members (which are peak +-1 members by
+    construction). The rebuild costs two (C, C) MXU distance matrices,
+    paid at most once and only by stagnating pairs (the seed is
+    escalation-gated). Greedy-clique quality itself is backed by
+    tests/test_clique.py::TestGreedyVsExact.
+
     Returns (WarmState with first_time = ~ok, ok () bool).
     """
     c = ori_src.shape[1]
     cap = params.clique_cap
     dtype = ori_src.dtype
 
-    slot_ok = jnp.arange(red_i.shape[0]) < red_pool
-    adj = jnp.zeros((c, c), bool)
-    adj = adj.at[red_i, red_j].max(slot_ok)
-    adj = adj.at[red_j, red_i].max(slot_ok)
+    if active is not None and c <= params.dense_init_max_c:
+        s = ori_src.T.astype(jnp.float32)  # (C, 3)
+        d = ori_dst.T.astype(jnp.float32)
+
+        def pdist(m):
+            n = jnp.sum(m * m, axis=1)
+            g = jax.lax.dot_general(
+                m, m, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return jnp.sqrt(jnp.maximum(n[:, None] + n[None, :] - 2.0 * g, 0.0))
+
+        v1 = pdist(s)
+        v2 = pdist(d)
+        if params.estimate_scaling:
+            num_bins = int(params.hist_max_scale) * params.hist_bins_per_unit
+            bins = jnp.clip(
+                jnp.floor(
+                    v2 / jnp.where(v1 > 0, v1, 1.0) * params.hist_bins_per_unit
+                ).astype(jnp.int32),
+                0,
+                num_bins - 1,
+            )
+            # Peak bin = median bin over the pool members (uniform samples
+            # of the peak +-1 window; red_pool == 0 leaves a garbage peak,
+            # an empty clique, and ok=False downstream).
+            st = ori_src[:, red_j] - ori_src[:, red_i]
+            dt = ori_dst[:, red_j] - ori_dst[:, red_i]
+            p1 = jnp.sqrt(jnp.sum(st * st, axis=0))
+            p2 = jnp.sqrt(jnp.sum(dt * dt, axis=0))
+            pb = jnp.clip(
+                jnp.floor(
+                    p2 / jnp.where(p1 > 0, p1, 1.0) * params.hist_bins_per_unit
+                ).astype(jnp.int32),
+                0,
+                num_bins - 1,
+            )
+            slot_ok = jnp.arange(red_i.shape[0]) < red_pool
+            pb_sorted = jnp.sort(jnp.where(slot_ok, pb, jnp.int32(1 << 30)))
+            peak = pb_sorted[jnp.maximum(red_pool // 2 - 1, 0)]
+            member = jnp.abs(bins - peak) <= 1
+        else:
+            beta = 2.0 * params.noise_bound * np.sqrt(params.cbar2)
+            member = jnp.abs(v1 - v2) <= beta
+        iu = jnp.arange(c)
+        adj = (
+            member
+            & (iu[:, None] != iu[None, :])
+            & active[:, None]
+            & active[None, :]
+        )
+    else:
+        slot_ok = jnp.arange(red_i.shape[0]) < red_pool
+        adj = jnp.zeros((c, c), bool)
+        adj = adj.at[red_i, red_j].max(slot_ok)
+        adj = adj.at[red_j, red_i].max(slot_ok)
     clique = greedy_clique(adj)
     m = jnp.minimum(jnp.sum(clique, dtype=jnp.int32), cap)
 
@@ -1283,7 +1383,15 @@ def _self_update_pairs(
     red_i = red_i.at[write].set(pif, mode="drop")[:r_cap]
     red_j = red_j.at[write].set(pjf, mode="drop")[:r_cap]
     added = jnp.minimum(jnp.sum(vf, dtype=jnp.int32), r_cap - pool)
-    return red_i, red_j, jnp.minimum(red_count + added, r_cap), pool + added
+    # red_count is the |reduced| COUNT (clamped by reduced_cap, not by the
+    # pool slot capacity r_cap — the count may legitimately exceed the
+    # materialized pool, see config.pool_cap).
+    return (
+        red_i,
+        red_j,
+        jnp.minimum(red_count + added, params.reduced_cap),
+        pool + added,
+    )
 
 
 # =============================================================================
@@ -1430,7 +1538,7 @@ def psulvsb_solve(
                 first_time=jnp.zeros((), bool),
             )
             gror_used = True
-    if params.clique_eager and not params.estimate_scaling:
+    if params.clique_eager:
         # A successful clique seed wins over GROR (it is built from this
         # pair's own consistency graph) and the key split is unconditional
         # — both exactly as in solver/fused.py, so staged/fused parity
@@ -1439,10 +1547,11 @@ def psulvsb_solve(
         warm_seed, seed_ok = timed(
             "clique_seed", _clique_seed_stage,
             ori_src, ori_dst, red_i, red_j, red_pool, params, k_seed,
+            keep_mask == 1,
         )
         if bool(seed_ok):
             warm = warm_seed
-    lazy_clique = params.clique_lazy and not params.estimate_scaling
+    lazy_clique = params.clique_lazy
     clique_seeded = False
     rate_idx = 0
     longholi = False
@@ -1525,6 +1634,7 @@ def psulvsb_solve(
                 "clique_seed", _clique_seed_stage,
                 ori_src, ori_dst, red_i, red_j, red_pool, params,
                 jax.random.fold_in(k_host, 0x5EED),
+                hs.keep_mask == 1,
             )
             if bool(seed_ok):
                 warm = warm_seed

@@ -314,18 +314,47 @@ class TestCliqueSeed:
         assert bool(sol.valid)
         assert float(angular_error_deg(pair.transform.rotation, sol.rotation)) < 5.0
 
-    def test_flag_ignored_under_scale_estimation(self):
-        """Under estimate_scaling the loose peak+-1 graph can yield false
-        cliques — the flag must be a no-op there (config.py rationale)."""
-        pair = self._pair()
-        keep = jnp.ones((pair.src.shape[1],), jnp.int32)
-        p_on = PARAMS.replace(estimate_scaling=True, clique_init=True)
-        p_off = PARAMS.replace(estimate_scaling=True, clique_init=False)
-        s_on = psulvsb_register(pair.src, pair.dst, keep, jax.random.PRNGKey(0), p_on)
-        s_off = psulvsb_register(pair.src, pair.dst, keep, jax.random.PRNGKey(0), p_off)
-        np.testing.assert_allclose(
-            np.asarray(s_on.rotation), np.asarray(s_off.rotation), atol=1e-6
+    def test_seed_recovers_transform_unknown_scale(self):
+        """r4: the seed fires under estimate_scaling too — adjacency from
+        the peak+-1 ratio-bin window over the exact (C, C) grid, peak from
+        the pool-member median (config.py rationale; measured recall
+        0.967 -> 1.0 on the full-scale unknownScale protocol)."""
+        pair = self._pair(n=600, rate=0.9)
+        ts = 2.7  # the unknownScale protocol's random test stretch
+        dst = pair.dst * ts
+        c = pair.src.shape[1]
+        keep = jnp.ones((c,), jnp.int32)
+        params = PARAMS.replace(clique_init=True, estimate_scaling=True)
+        red_i, red_j, _cnt, pool = _init_stage(
+            pair.src, dst, keep, params, jax.random.PRNGKey(0)
         )
+        warm, ok = _clique_seed_stage(
+            pair.src, dst, red_i, red_j, pool, params, jax.random.PRNGKey(1),
+            keep == 1,
+        )
+        assert bool(ok)
+        assert float(angular_error_deg(pair.transform.rotation, warm.rotation)) < 2.0
+        assert abs(float(warm.scale) - ts) < 0.1
+
+    def test_seed_exact_graph_beats_thinned_pool(self):
+        """The dense seed-graph rebuild must not depend on pool thinning:
+        with a pool capacity far below the reduced-set size, the seed still
+        recovers the transform (pool-edge adjacency alone loses cliqueness
+        — measured 3DLoMatch recall 1.0 -> 0.967 from exactly this)."""
+        pair = self._pair(n=500, rate=0.9)
+        c = pair.src.shape[1]
+        keep = jnp.ones((c,), jnp.int32)
+        params = PARAMS.replace(clique_init=True, pool_cap=512, pool_reserve=64)
+        red_i, red_j, _cnt, pool = _init_stage(
+            pair.src, pair.dst, keep, params, jax.random.PRNGKey(0)
+        )
+        assert red_i.shape[0] == 512  # thinned pool slots
+        warm, ok = _clique_seed_stage(
+            pair.src, pair.dst, red_i, red_j, pool, params, jax.random.PRNGKey(1),
+            keep == 1,
+        )
+        assert bool(ok)
+        assert float(angular_error_deg(pair.transform.rotation, warm.rotation)) < 2.0
 
     def test_lazy_seed_rescues_hostile_pair(self):
         """clique_init="auto" (default) rescues a 97%-mismatch known-scale

@@ -207,3 +207,45 @@ class TestDecoupledFallback:
         )
         assert r.angle_error_deg < 15.0
         assert r.trans_error < 0.3
+
+
+class TestNanSafeBestOf:
+    """A collapsed retry (e.g. the prefilter discarding nearly every point)
+    yields NaN RMSE; float('nan') comparisons are all False, so the naive
+    `r.rmse < best.rmse` rule froze a retry-0 NaN as the running best and
+    masked every later good retry (r4: the unknown-scale protocol's one
+    residual failure — 180 deg / NaN across all 10 retries of a pair whose
+    unfiltered fallback retry solves it cleanly)."""
+
+    def _res(self, rmse):
+        return realdata.PairResult(
+            scale_error=0.0, angle_error_deg=0.0, trans_error=0.0,
+            rmse=rmse, time_s=0.0, success=False,
+        )
+
+    def test_rmse_key_orders_nan_last(self):
+        import math
+
+        rs = [self._res(float("nan")), self._res(0.5), self._res(0.1)]
+        best = None
+        for r in rs:
+            if best is None or realdata._rmse_key(r) < realdata._rmse_key(best):
+                best = r
+        assert best.rmse == 0.1
+        assert math.isinf(realdata._rmse_key(self._res(float("nan"))))
+
+    def test_batch_harness_shares_key(self):
+        from psulvsb_tpu.eval import batch_harness
+
+        assert batch_harness._rmse_key(self._res(float("nan"))) == float("inf")
+        assert batch_harness._rmse_key(self._res(2.0)) == 2.0
+
+    def test_nan_rmse_triggers_decoupled_fallback(self, key):
+        """evaluate_pair's fallback gate must treat a NaN best RMSE as
+        'clearly failed' (NaN > thr is False — the old gate skipped the
+        rescue exactly when it was needed most)."""
+        import math
+
+        assert not (float("nan") > 5.0 * 0.01)  # the old gate's blind spot
+        # The fixed gate: `not (best.rmse <= thr)` fires on NaN.
+        assert not (float("nan") <= 5.0 * 0.01)

@@ -229,6 +229,72 @@ class TestSampledInit:
         assert re < 5.0 and te < 0.3, f"RE={re} TE={te}"
 
 
+class TestPoolCap:
+    """The materialized reduced pool (config.pool_cap) is decoupled from
+    the |reduced| count clamp (reduced_cap): slot arrays size at
+    min(pool_cap, reduced_cap), the init fill leaves pool_reserve slots
+    free for self-update appends, and red_count stays the true (exact or
+    estimated) count — the floor(|reduced| * rate) sample-size rule must
+    not shrink just because fewer slots are materialized."""
+
+    def _dense_init(self, c, pool_cap, reserve, key):
+        from psulvsb_tpu.solver.psulvsb import _init_stage
+
+        src = jnp.asarray(synthetic_cloud(c, seed=5))
+        pair = make_synthetic_pair(key, src, noise_bound=0.05, outlier_rate=0.0)
+        params = SolverParams.preset_artificial(
+            pool_cap=pool_cap, pool_reserve=reserve
+        )
+        keep = jnp.ones((c,), jnp.int32)
+        return _init_stage(pair.src, pair.dst, keep, params, key), params
+
+    def test_fill_leaves_reserve_and_count_exceeds_pool(self, key):
+        # 300 inlier points at outlier_rate 0 -> every i<j pair is a
+        # reduced-set member: 300*299/2 = 44850 members >> 512 slots.
+        (red_i, red_j, red_count, pool), params = self._dense_init(
+            300, 512, 64, key
+        )
+        assert red_i.shape[0] == 512 and red_j.shape[0] == 512
+        # Fill target = pool_cap - min(reserve, pool_cap // 8) = 512 - 64.
+        assert int(pool) == 448
+        # The count is the true membership (~all 44850 pairs minus noise
+        # boundary cases), not the slot capacity.
+        assert int(red_count) > 40000
+
+    def test_small_reduced_set_fully_materialized(self, key):
+        # Few members (high outlier rate, small C): everything fits — the
+        # pool holds ALL members and red_count == pool.
+        from psulvsb_tpu.solver.psulvsb import _init_stage
+
+        c = 80
+        src = jnp.asarray(synthetic_cloud(c, seed=6))
+        pair = make_synthetic_pair(key, src, noise_bound=0.05, outlier_rate=0.9)
+        params = SolverParams.preset_artificial(pool_cap=4096)
+        keep = jnp.ones((c,), jnp.int32)
+        red_i, red_j, red_count, pool = _init_stage(
+            pair.src, pair.dst, keep, params, key
+        )
+        assert int(pool) == int(red_count)
+        assert int(pool) < 4096 - 512  # under the fill target
+
+    def test_solver_quality_with_thin_pool(self, key):
+        """End-to-end accuracy is preserved with a pool far below the
+        reduced-set size (sampling from a uniform pool-subset is marginally
+        identical to sampling the full set)."""
+        src = jnp.asarray(synthetic_cloud(400, seed=7))
+        pair = make_synthetic_pair(key, src, noise_bound=0.05, outlier_rate=0.8)
+        keep = jnp.ones((400,), jnp.int32)
+        params = SolverParams.preset_artificial(
+            pool_cap=1024, pool_reserve=128, sampled_cap=512, basic_cap=256,
+            hypothesis_batch=4,
+        )
+        sol, _ = psulvsb_solve(pair.src, pair.dst, keep, params,
+                               jax.random.PRNGKey(4))
+        re = float(angular_error_deg(pair.transform.rotation, sol.rotation))
+        te = float(jnp.linalg.norm(sol.translation - pair.transform.translation))
+        assert sol.valid and re < 5.0 and te < 0.3, f"RE={re} TE={te}"
+
+
 class TestPallasGncSolver:
     def test_pallas_gnc_impl_matches_quality(self, key):
         """Full PSULVSB solve with gnc_impl='pallas' (whole-GNC kernel,
