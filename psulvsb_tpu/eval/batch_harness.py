@@ -63,15 +63,44 @@ from psulvsb_tpu.utils.padding import pad_columns, pad_to_bucket
 def _prefilter_batch(src_b: jax.Array, dst_b: jax.Array, valid_b: jax.Array):
     """Batched normal-angle prefilter: (B, 3, C) -> (B, C) keep masks
     (PSULVSB.cc:35-172 semantics; deterministic, so one pass covers every
-    prefilter-on retry)."""
+    prefilter-on retry).
 
-    def one(src, dst, valid):
+    lax.map, not vmap: the normals kNN materializes per-pair (C, C)-class
+    buffers, so a vmapped batch scales HBM with B — a 169-pair group at
+    the 6144 bucket OOMed the chip (16.4 G needed of 15.75 G) on the
+    full-cardinality 3DMatch sweep. lax.map holds one pair's buffers at a
+    time inside the same single dispatch (the register_batch convention,
+    parallel/pairs.py)."""
+
+    def one(args):
+        src, dst, valid = args
         sn = estimate_normals(src, k=20, active=valid)
         dn = estimate_normals(dst, k=20, active=valid)
         keep, _ = normal_angle_histogram_filter(sn, dn, active=valid)
         return jnp.where(valid, keep, -2).astype(jnp.int32)
 
-    return jax.vmap(one)(src_b, dst_b, valid_b)
+    return jax.lax.map(one, (src_b, dst_b, valid_b))
+
+
+# Prefilter dispatches run at a fixed batch shape so ONE compiled program
+# (per pad bucket) serves every scene regardless of its pair count —
+# group-sized shapes would recompile per (scene, bucket) group.
+PREFILTER_CHUNK = 32
+
+
+def _prefilter_chunked(src_b, dst_b, valid_b):
+    n = src_b.shape[0]
+    outs = []
+    for lo in range(0, n, PREFILTER_CHUNK):
+        sl = slice(lo, lo + PREFILTER_CHUNK)
+        s, d, v = src_b[sl], dst_b[sl], valid_b[sl]
+        short = PREFILTER_CHUNK - s.shape[0]
+        if short > 0:
+            s = jnp.concatenate([s, jnp.repeat(s[:1], short, axis=0)])
+            d = jnp.concatenate([d, jnp.repeat(d[:1], short, axis=0)])
+            v = jnp.concatenate([v, jnp.repeat(v[:1], short, axis=0)])
+        outs.append(_prefilter_batch(s, d, v))
+    return jnp.concatenate(outs)[:n]
 
 
 # Solve batches run in fixed-size chunks so ONE compiled program (per pad
@@ -117,13 +146,17 @@ def _solve_batch(src_b, dst_b, keep_b, keys, params, mesh=None, chunk=CHUNK):
     return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs), b
 
 
-def _warm_prefilter(n: int, c: int) -> None:
-    """Compile + one dispatch of the (n, 3, c) prefilter program (untimed)."""
-    wk = ("prefilter", n, c)
+def _warm_prefilter(c: int) -> None:
+    """Compile + one dispatch of the (PREFILTER_CHUNK, 3, c) prefilter
+    program (untimed); the chunked front door makes this the only
+    prefilter shape any scene dispatches."""
+    wk = ("prefilter", PREFILTER_CHUNK, c)
     if wk in _WARMED:
         return
-    z = jnp.zeros((n, 3, c), jnp.float32)
-    _ = np.asarray(_prefilter_batch(z, z, jnp.ones((n, c), bool)))
+    z = jnp.zeros((PREFILTER_CHUNK, 3, c), jnp.float32)
+    _ = np.asarray(
+        _prefilter_batch(z, z, jnp.ones((PREFILTER_CHUNK, c), bool))
+    )
     _WARMED.add(wk)
 
 
@@ -271,7 +304,7 @@ def run_scene_batched(
         # Compile warm-up, untimed (the C++ reference has no compile step):
         # raw-mask inputs are shape-identical to the real flattened batch.
         if use_prefilter:
-            _warm_prefilter(n_g, bucket)
+            _warm_prefilter(bucket)
         _warm_chunk(
             src_b[0], dst_b[0], raw_keep[0], group_keys[0], params, mesh
         )
@@ -301,7 +334,7 @@ def run_scene_batched(
         # the solve batch, and the result readback.
         t0 = time.monotonic()
         if use_prefilter:
-            pre_keep = _prefilter_batch(src_b, dst_b, valid_b)
+            pre_keep = _prefilter_chunked(src_b, dst_b, valid_b)
         else:
             pre_keep = raw_keep
 

@@ -50,6 +50,11 @@ GRID = [
     (4096, 512, 8),
 ]
 
+# Materialized-pool capacities swept alongside (r4: pool_cap is the other
+# big device-time lever — the init compaction's top-k scales with it;
+# 131072 slots forced a full C^2 sort worth >half the solve).
+POOL_GRID = [8192, 16384, 32768]
+
 
 def fixtures():
     src = jnp.asarray(synthetic_cloud(1889, seed=0))
@@ -86,13 +91,15 @@ def main():
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     fx = fixtures()
     print(f"{'caps':24s}  " + "  ".join(f"{n:>18s}" for n, _, _ in fx))
-    for caps in GRID:
-        sc, bc, hb = caps
+    grid = [(sc, bc, hb, pc) for (sc, bc, hb) in GRID for pc in POOL_GRID]
+    for caps in grid:
+        sc, bc, hb, pc = caps
         cells = []
         for _name, pair, nb in fx:
             params = SolverParams.preset_artificial(
                 noise_bound=nb, noise_bound_dataset=nb,
                 sampled_cap=sc, basic_cap=bc, hypothesis_batch=hb,
+                pool_cap=pc,
             )
 
             def solve(s, d, kp, ky, p=params):
