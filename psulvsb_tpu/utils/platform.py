@@ -19,6 +19,14 @@ def respect_env_platforms() -> None:
 
     No-op when the env var is unset or jax is already initialized (config
     updates after backend init raise; by then the platform is fixed anyway).
+
+    When the requested list names only remote/accelerator platforms, the
+    host `cpu` backend is appended as a NON-default extra. The default
+    device (first entry) is unchanged, but code that explicitly pins tiny
+    host-side work to `jax.devices("cpu")` — e.g. eval/make_dataset.py's
+    per-pair generation, measured ~5 s/pair through the axon tunnel vs ~ms
+    on host — keeps working instead of silently falling through to the
+    tunnel. `JAX_PLATFORMS=cpu` still means cpu-only.
     """
     want = os.environ.get("JAX_PLATFORMS")
     if not want:
@@ -26,6 +34,18 @@ def respect_env_platforms() -> None:
     import jax
 
     try:
-        jax.config.update("jax_platforms", want)
+        jax.config.update("jax_platforms", with_cpu_fallback(want))
     except RuntimeError:
         pass
+
+
+def with_cpu_fallback(want: str) -> str:
+    """Append `cpu` as a non-default platform unless already listed.
+
+    The first entry stays the default device; `cpu` at the end only makes
+    `jax.devices("cpu")` resolvable for explicitly host-pinned work.
+    """
+    platforms = [p.strip() for p in want.split(",") if p.strip()]
+    if "cpu" not in platforms:
+        platforms.append("cpu")
+    return ",".join(platforms)

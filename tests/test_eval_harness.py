@@ -249,3 +249,19 @@ class TestNanSafeBestOf:
         assert not (float("nan") > 5.0 * 0.01)  # the old gate's blind spot
         # The fixed gate: `not (best.rmse <= thr)` fires on NaN.
         assert not (float("nan") <= 5.0 * 0.01)
+
+
+class TestPlatformFallback:
+    def test_cpu_appended_for_remote_platforms(self):
+        """JAX_PLATFORMS=axon must keep jax.devices('cpu') resolvable:
+        eval/make_dataset.py pins per-pair generation to the host CPU
+        (measured ~5 s/pair through the axon tunnel vs ~0.1 s on host), so
+        stripping the cpu backend silently turns a 4-minute full-scale
+        dataset generation into a 3-hour one (round-4 regression)."""
+        from psulvsb_tpu.utils.platform import with_cpu_fallback
+
+        assert with_cpu_fallback("axon") == "axon,cpu"
+        assert with_cpu_fallback("tpu,cpu") == "tpu,cpu"
+        assert with_cpu_fallback("cpu") == "cpu"
+        # default (first entry) is never changed
+        assert with_cpu_fallback(" axon , tpu ").startswith("axon,")
