@@ -370,7 +370,8 @@ def stage_bytes_accessed(pair, stage_fns) -> dict:
     return out
 
 
-def _ensure_dataset(root, scenes, dataset, n_pairs, n_corr, seed) -> None:
+def _ensure_dataset(root, scenes, dataset, n_pairs, n_corr, seed,
+                    outlier_mode="mismatch") -> None:
     """Generate the benchmark tree only when the existing one's recorded
     generation config doesn't match (generation is deterministic in these
     inputs). Keeping matching data across protocol retries is what lets
@@ -385,6 +386,7 @@ def _ensure_dataset(root, scenes, dataset, n_pairs, n_corr, seed) -> None:
         "n_pairs": n_pairs,
         "n_corr": list(n_corr) if isinstance(n_corr, tuple) else n_corr,
         "seed": seed,
+        "outlier_mode": outlier_mode,
     }
     cfg_path = os.path.join(root, "gen_config.json")
     try:
@@ -396,7 +398,7 @@ def _ensure_dataset(root, scenes, dataset, n_pairs, n_corr, seed) -> None:
     shutil.rmtree(root, ignore_errors=True)
     write_benchmark(
         root, scenes, dataset=dataset, n_pairs=n_pairs, n_corr=n_corr,
-        seed=seed,
+        seed=seed, outlier_mode=outlier_mode,
     )
     with open(cfg_path, "w") as f:
         json.dump(cfg, f)
@@ -409,6 +411,7 @@ def realdata_benchmark(
     n_corr=1500,
     ddtime: int = 10,
     unknown_scale: bool = False,
+    outlier_mode: str = "mismatch",
 ) -> dict:
     """Reference-scale real-data protocol through the batched harness:
     n_scenes x n_pairs pairs, best-of-ddtime, per-dataset success criteria
@@ -422,10 +425,13 @@ def realdata_benchmark(
     requires scale error <= 0.1 (criteria include max_scale_err)."""
     from psulvsb_tpu.eval.batch_harness import run_benchmark_batched
 
-    root = f"/tmp/psulvsb_bench_{dataset}_r4" + ("_us" if unknown_scale else "")
+    root = (f"/tmp/psulvsb_bench_{dataset}_r5"
+            + ("_us" if unknown_scale else "")
+            + ("" if outlier_mode == "mismatch" else f"_{outlier_mode}"))
     out_dir = os.path.join(root, "_results")
     scenes = [f"scene{i}" for i in range(n_scenes)]
-    _ensure_dataset(root, scenes, dataset, n_pairs, n_corr, seed=11)
+    _ensure_dataset(root, scenes, dataset, n_pairs, n_corr, seed=11,
+                    outlier_mode=outlier_mode)
 
     es = dict(estimate_scaling=unknown_scale, **REALDATA_CAPS)
     if dataset == "kitti":
@@ -812,6 +818,10 @@ def main():
     protocol("whu_tls", "whu_tls")
     # unknownScale mode (teaser_cpp_ply_main.cc:319) at FULL scale.
     protocol("3dmatch_unkscale", "3dmatch", unknown_scale=True)
+    # Colluding clustered outliers (VERDICT r4 #3): repeated-geometry style
+    # decoy-rigid outlier groups that uniform mismatch can never produce.
+    protocol("3dmatch_clustered", "3dmatch", n_corr=THREEDMATCH_CORRS,
+             outlier_mode="clustered")
 
     _emit_and_exit()
 

@@ -28,7 +28,7 @@ from psulvsb_tpu.solver.config import (
 from psulvsb_tpu.solver.solution import RegistrationSolution
 from psulvsb_tpu.api import RobustRegistrationSolver, register_pair
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "SolverParams",

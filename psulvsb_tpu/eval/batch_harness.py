@@ -9,8 +9,9 @@ program — `lax.map` of fused solves on a single chip, or `shard_map` over a
 1-D pair mesh with the recall reduction riding ICI (parallel/pairs.py).
 
 Semantics preserved vs the serial harness (eval/realdata.py:128-242):
-- per pair, ddtime retries; retries 0..ddtime-2 use the (deterministic)
-  normal-angle prefilter mask, the last retry runs unfiltered;
+- per pair, ddtime retries; even retries use the (deterministic)
+  normal-angle prefilter mask, odd retries run unfiltered (the shared
+  eval/realdata.retry_uses_prefilter rule);
 - best retry kept by RMSE against the GT placement;
 - the reference's success criteria applied per pair.
 
@@ -20,13 +21,14 @@ batched dispatch, so `time_s` is the batch wall clock amortized per pair
 prefilter dispatch, (pair, retry) flattening, the solve batch, and the
 result readback — the same work the serial harness counts per retry
 (pipeline.solve_with_prefilter) minus per-retry prefilter repetition (the
-filter is deterministic, so the batch computes it once per pair). Because
-the amortized figure is systematically easier to pass than the serial
-per-retry wall clock, the 60 s budget gate is EXCLUDED from the batched
-success criterion (stats carry `time_gate = "excluded-amortized"`); recall
-here is accuracy-only and stays apples-to-apples with the serial harness
-whenever no serial pair is budget-bound (every observed protocol — pairs
-run ~0.01-1 s vs the 60 s gate).
+filter is deterministic, so the batch computes it once per pair). The
+reference's 60 s success budget gates the WINNING retry's solve time
+(main.cc:424, onceTimeError), so the batched criterion charges each pair
+the projected per-retry time — batch wall / solve count, uniform within a
+bucket group (stats carry `time_gate = "projected-per-retry"`). Batched
+recall thereby applies the reference's full success definition; the
+projection only blurs per-pair variation inside one compiled program's
+group.
 """
 
 from __future__ import annotations
@@ -46,6 +48,7 @@ from psulvsb_tpu.eval.realdata import (
     read_corr_file,
     read_gt_mat,
     read_pair_labels,
+    retry_uses_prefilter,
 )
 from psulvsb_tpu.eval.reporting import write_csv
 from psulvsb_tpu.frontend.histogram_filter import normal_angle_histogram_filter
@@ -180,13 +183,15 @@ def _warm_chunk(src0, dst0, keep0, key0, params, mesh, chunk=CHUNK):
 def _flatten(src_b, dst_b, pre_keep, raw_keep, group_keys, ddtime,
              use_prefilter):
     """(pair, retry) flattening: retry t of pair p sits at p * ddtime + t.
-    Retries 0..ddtime-2 use the prefilter mask, the last runs raw
-    (eval/realdata.evaluate_pair's per-retry rule). Per-retry keys derive
-    in one vmapped fold_in dispatch."""
+    Filtered/raw allocation per retry follows the ONE shared rule
+    (eval/realdata.retry_uses_prefilter: even retries filtered, odd raw).
+    Per-retry keys derive in one vmapped fold_in dispatch."""
     n_g = src_b.shape[0]
     idx = np.repeat(np.arange(n_g), ddtime)
     retry = np.tile(np.arange(ddtime), n_g)
-    use_pre = use_prefilter & ((retry < ddtime - 1) | (ddtime == 1))
+    use_pre = np.asarray([
+        retry_uses_prefilter(int(t), ddtime, use_prefilter) for t in retry
+    ])
     keep_flat = jnp.where(
         jnp.asarray(use_pre)[:, None], pre_keep[idx], raw_keep[idx]
     )
@@ -349,7 +354,18 @@ def run_scene_batched(
         transs = np.asarray(sols.translation)[:n_flat]
         solve_wall += time.monotonic() - t0
 
+        # Two projections from the batch wall clock:
+        # - per_pair: a pair's share of the batch (its ddtime retries) —
+        #   the throughput-true figure reported in the Time column;
+        # - per_retry: one solve's share — the quantity the reference's
+        #   60 s success gate actually measures (main.cc:424 gates
+        #   onceTimeError, the WINNING retry's solve time, not the sum).
+        #   Charging it per pair applies the reference's full success
+        #   definition to batched recall (VERDICT r4 #6); uniform-within-
+        #   group is the projection assumption (solves in a group share one
+        #   compiled program and pad bucket).
         amortized = (time.monotonic() - t0) / n_g
+        per_retry = (time.monotonic() - t0) / max(n_flat, 1)
         for p, rec in enumerate(group):
             tag, src, _dst_s, gt, test_scale, _key, _bkt = rec
             src_j = np.asarray(src, np.float64)
@@ -380,13 +396,13 @@ def run_scene_batched(
                 # failure was exactly this).
                 if best is None or _rmse_key(res) < _rmse_key(best):
                     best = res
-            # Time gate excluded on purpose: amortized batch time would pass
-            # the 60 s budget trivially (see module docstring) — gating on it
-            # would make batched recall incomparably easier than serial.
+            # Full reference success definition including the 60 s budget,
+            # charged as the projected per-retry solve time (see above).
             ok = (
                 best.scale_error <= criteria.max_scale_err
                 and best.angle_error_deg <= criteria.max_angle_err_deg
                 and best.trans_error <= criteria.max_trans_err
+                and per_retry <= criteria.max_time_s
             )
             results[tag] = best._replace(success=ok)
 
@@ -413,7 +429,7 @@ def run_scene_batched(
         "avg_time_s": sum(r.time_s for r in succ) / n_s,
         "pairs_per_s": len(res_list) / solve_wall if solve_wall > 0 else 0.0,
         "timing": "amortized-batch",
-        "time_gate": "excluded-amortized",
+        "time_gate": "projected-per-retry",
         "sharded": mesh is not None,
     }
     # Sidecar for resume: the exact stats plus the protocol fingerprint
@@ -455,9 +471,9 @@ def _scene_fingerprint(params, ddtime, unknown_scale, descriptor, seed,
         "use_prefilter": use_prefilter,
         "n_pairs": n_pairs,
         "criteria": repr(criteria),
-        # Invalidates pre-r4 sidecars: r4 removed the (never-binding) time
-        # gate from the batched success check.
-        "time_gate": "excluded-amortized",
+        # Invalidates stale sidecars across gate-rule changes (r4 excluded
+        # the gate; r5 reinstated it as projected per-retry time).
+        "time_gate": "projected-per-retry",
         # Solver CODE changes are invisible to repr(params); the package
         # version ties resumes to the code that produced them (a stale
         # sidecar from an older solver silently masked a behavior change
@@ -529,8 +545,14 @@ def run_benchmark_batched(
             params = SolverParams.preset_whu_tls()
         else:
             params = SolverParams.preset_3dmatch()
-        # estimate_scaling = unknownScale (main.cc:319).
-        params = params.replace(estimate_scaling=unknown_scale)
+    # estimate_scaling = unknownScale (main.cc:319) — the reference driver
+    # ties scale estimation to the protocol, NOT to solver construction, so
+    # the rule applies to caller-supplied params too. (Applying it only to
+    # the preset branch is exactly how the r4 full-scale sweep ran the
+    # known-scale protocol with scale estimation ON: the 14 redkitchen
+    # failures were all scale divergences at 95% outliers that the
+    # reference's known-scale fixed-s=1 path cannot produce.)
+    params = params.replace(estimate_scaling=unknown_scale)
     if dataset == "kitti":
         criteria = SuccessCriteria.kitti()
     elif dataset == "whu_tls":

@@ -41,6 +41,7 @@ def write_scene(
     max_translation: float = 2.0,
     seed: int = 0,
     descriptor: str = "fpfh",
+    outlier_mode: str = "mismatch",
 ) -> list[tuple[int, int]]:
     """Write one reference-format scene directory; returns the pair labels.
 
@@ -85,7 +86,7 @@ def write_scene(
                 noise_bound=noise_bound,
                 outlier_rate=rate,
                 max_translation=max_translation,
-                outlier_mode="mismatch",
+                outlier_mode=outlier_mode,
             )
         src = np.asarray(pair.src, np.float64)
         dst = np.asarray(pair.dst, np.float64)
@@ -117,6 +118,7 @@ def write_benchmark(
     n_corr: int | tuple[int, ...] = 1500,
     seed: int = 0,
     outlier_rates: tuple[float, ...] | None = None,
+    outlier_mode: str = "mismatch",
 ) -> None:
     """Write a multi-scene benchmark tree under data_root.
 
@@ -146,5 +148,6 @@ def write_benchmark(
             n_pairs=n_pairs[scene] if isinstance(n_pairs, dict) else n_pairs,
             n_corr=n_corr,
             seed=seed + 17 * si,
+            outlier_mode=outlier_mode,
             **kw,
         )

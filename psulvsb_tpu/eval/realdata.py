@@ -135,6 +135,30 @@ def read_gt_log(path: str) -> dict[tuple[int, int], np.ndarray]:
 _WARMED: set = set()
 
 
+def retry_uses_prefilter(t: int, ddtime: int, use_prefilter: bool) -> bool:
+    """Which of the best-of-ddtime retries consult the normal-angle
+    prefilter mask. ONE rule shared by the serial and batched harnesses
+    (two drifting copies would silently break their parity tests).
+
+    The reference driver filters EVERY retry (main.cc:337) and relies on
+    self-update re-admission (keep == 0 -> 1, registration.cc:1399-1488) to
+    recover mis-filtered inliers. That recovery cannot bootstrap when the
+    filter's kept set contains no inliers at all — observed on 95%-outlier
+    mismatch pairs, where the histogram peak locks onto the sin(theta)
+    background of random normal angles and the kept bins hold 0 of 250 true
+    inliers (the FULLSCALE_r04 redkitchen failures, docs/FULLSCALE.md).
+    Retries are best-of by RMSE and a raw solve runs the SAME compiled
+    program as a filtered one (the mask is an input, not a shape), so
+    alternating filtered/raw retries strictly dominates the all-filtered
+    rule for recall while keeping the filter's benefit on pairs it helps.
+    Documented divergence from the reference (README): even retries
+    filtered, odd retries raw; ddtime == 1 keeps the reference's single
+    filtered solve."""
+    if not use_prefilter:
+        return False
+    return t % 2 == 0
+
+
 class PairResult(NamedTuple):
     scale_error: float
     angle_error_deg: float
@@ -160,8 +184,9 @@ def evaluate_pair(
     full pipeline, keep the lowest-RMSE run, apply the success criteria.
 
     The pre-filter is deterministic, so when it mis-discards inliers every
-    ddtime retry fails the same way (true of the reference too); the last
-    retry runs without it as a fallback when use_prefilter is on.
+    filtered retry fails the same way (true of the reference too); odd
+    retries run without it as a fallback when use_prefilter is on
+    (retry_uses_prefilter).
 
     decoupled_fallback adds ONE extra retry through the classic decoupled
     path (solver/classic.py: scale -> max-clique -> rotation -> translation)
@@ -200,7 +225,7 @@ def evaluate_pair(
 
     best: PairResult | None = None
     for t in range(ddtime):
-        pre = use_prefilter and (t < ddtime - 1 or ddtime == 1)
+        pre = retry_uses_prefilter(t, ddtime, use_prefilter)
         res = solve_with_prefilter(
             src_j, dst_j, params, jax.random.fold_in(key, t), use_prefilter=pre
         )
@@ -376,11 +401,13 @@ def run_benchmark(
             params = SolverParams.preset_whu_tls()
         else:
             params = SolverParams.preset_3dmatch()
-        # The reference driver ties scale estimation to the unknown-scale
-        # protocol (params.estimate_scaling = unknownScale, main.cc:319):
-        # the standard runs solve at known scale via the beta-window reduced
-        # set (registration.cc:753-767).
-        params = params.replace(estimate_scaling=unknown_scale)
+    # The reference driver ties scale estimation to the unknown-scale
+    # protocol (params.estimate_scaling = unknownScale, main.cc:319):
+    # the standard runs solve at known scale via the beta-window reduced
+    # set (registration.cc:753-767). Applied unconditionally — the rule is
+    # the protocol's, not the preset's, so caller-supplied params (cap
+    # overrides) must not silently re-enable scale estimation.
+    params = params.replace(estimate_scaling=unknown_scale)
     if dataset == "kitti":
         criteria = SuccessCriteria.kitti()
     elif dataset == "whu_tls":

@@ -33,8 +33,16 @@ def respect_env_platforms() -> None:
         return
     import jax
 
+    # PSULVSB_NO_CPU_FALLBACK=1 opts out of the appended host backend and
+    # restores JAX's documented exact-list semantics (advice r4: code that
+    # gates on `jax.devices("cpu")` existing should be able to see the
+    # env var verbatim).
+    if os.environ.get("PSULVSB_NO_CPU_FALLBACK"):
+        value = want
+    else:
+        value = with_cpu_fallback(want)
     try:
-        jax.config.update("jax_platforms", with_cpu_fallback(want))
+        jax.config.update("jax_platforms", value)
     except RuntimeError:
         pass
 

@@ -10,10 +10,10 @@ reference-format scenes at those cardinalities (mixed ~5k corrs/pair for
 them through the batched harness with scene-granular resume (a tunnel abort
 mid-sweep resumes at the completed-scene boundary), and writes the per-scene
 CSVs plus a summary JSON into an artifact directory intended to be
-committed (FULLSCALE_r04/).
+committed (FULLSCALE_r05/).
 
 Usage:
-    python tools/fullscale_sweep.py [--out FULLSCALE_r04] [--data /tmp/psulvsb_fullscale]
+    python tools/fullscale_sweep.py [--out FULLSCALE_r05] [--data /tmp/psulvsb_fullscale]
         [--datasets 3dmatch,kitti] [--ddtime 10]
 Resume is always on: rerunning after an abort skips completed scenes.
 """
@@ -132,7 +132,7 @@ def sweep(dataset: str, data_root: str, out_dir: str, ddtime: int) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="FULLSCALE_r04")
+    ap.add_argument("--out", default="FULLSCALE_r05")
     ap.add_argument("--data", default="/tmp/psulvsb_fullscale")
     ap.add_argument("--datasets", default="3dmatch,kitti")
     ap.add_argument("--ddtime", type=int, default=10)
