@@ -244,6 +244,8 @@ def run_scene_batched(
     seed: int = 0,
     use_prefilter: bool = True,
     sharded: bool = False,
+    certify: bool = False,
+    certify_tim_cap: int = 64,
 ) -> dict:
     """Evaluate one scene with all (pair, retry) solves batched on-device.
 
@@ -251,7 +253,20 @@ def run_scene_batched(
     program. Returns the same aggregate stats as eval/realdata.run_scene
     plus `pairs_per_s` (scene pairs / total solve wall-clock) and
     `timing = "amortized-batch"`.
-    """
+
+    certify=True runs the DRS optimality certifier (certify/drs.py,
+    certification.cc:20-190 equivalent) on each pair's WINNING solve — the
+    reference's first-class post-solve step (teaserpp_python.cc:169-207).
+    The rotation subproblem is reconstructed exactly the way the solver
+    poses it: final correspondence inliers by residual against the winning
+    (s, R, t), chain TIMs over those inliers (capped at certify_tim_cap by
+    even subsampling — the certifier's DRS iteration is O(N^2) dense), TIM
+    noise bound 2x the point bound, TLS theta signs from the TIM residuals.
+    polish=True (one f64 Procrustes re-center; README divergence 6: an f32
+    winner carries ~1e-7 orientation error that the gap divides by
+    mu ~ noise^2). Stats gain `certified_frac` (certified successes /
+    successes) and `avg_cert_gap` (mean best_suboptimality over certified
+    solves)."""
     pairs = read_pair_labels(label_file)
     suffix = "@corr.txt" if descriptor == "fpfh" else "@corr_fcgf.txt"
     gt_suffix = "@GTmat.txt" if descriptor == "fpfh" else "@GTmat_fcgf.txt"
@@ -290,6 +305,7 @@ def run_scene_batched(
         )
 
     results: dict[str, PairResult] = {}
+    cert_results: dict[str, dict] = {}
     solve_wall = 0.0
     for bucket in sorted({rec[6] for rec in loaded}):
         group = [rec for rec in loaded if rec[6] == bucket]
@@ -371,6 +387,7 @@ def run_scene_batched(
             src_j = np.asarray(src, np.float64)
             gt_pts = gt[:3, :3] @ src_j + gt[:3, 3:4]
             best = None
+            best_f = -1
             for t in range(ddtime):
                 f = p * ddtime + t
                 s, r, tr = float(scales[f]), rots[f].astype(np.float64), transs[f].astype(np.float64)
@@ -396,6 +413,7 @@ def run_scene_batched(
                 # failure was exactly this).
                 if best is None or _rmse_key(res) < _rmse_key(best):
                     best = res
+                    best_f = f
             # Full reference success definition including the 60 s budget,
             # charged as the projected per-retry solve time (see above).
             ok = (
@@ -405,6 +423,14 @@ def run_scene_batched(
                 and per_retry <= criteria.max_time_s
             )
             results[tag] = best._replace(success=ok)
+            if certify:
+                cert_results[tag] = _certify_winner(
+                    src_j, np.asarray(rec[2], np.float64),
+                    float(scales[best_f]),
+                    rots[best_f].astype(np.float64),
+                    transs[best_f].astype(np.float64),
+                    params, certify_tim_cap,
+                )
 
     rows = [
         [tag, r.scale_error, r.angle_error_deg, r.trans_error, r.rmse,
@@ -432,6 +458,17 @@ def run_scene_batched(
         "time_gate": "projected-per-retry",
         "sharded": mesh is not None,
     }
+    if certify:
+        # Certified fraction over SUCCESSES: certification asks "is this
+        # solve provably the TLS global optimum", which is only meaningful
+        # for solves that are solutions at all.
+        cert_succ = [cert_results[tag] for tag, r in results.items()
+                     if r.success]
+        n_cert = sum(1 for c in cert_succ if c["certified"])
+        gaps = [c["gap"] for c in cert_succ
+                if c["certified"] and math.isfinite(c["gap"])]
+        stats["certified_frac"] = n_cert / max(len(cert_succ), 1)
+        stats["avg_cert_gap"] = (sum(gaps) / len(gaps)) if gaps else None
     # Sidecar for resume: the exact stats plus the protocol fingerprint
     # (written atomically AFTER the CSV, so a kill mid-scene leaves no meta
     # and the scene re-runs).
@@ -443,7 +480,7 @@ def run_scene_batched(
             {
                 "fingerprint": _scene_fingerprint(
                     params, ddtime, unknown_scale, descriptor, seed,
-                    use_prefilter, len(pairs), criteria,
+                    use_prefilter, len(pairs), criteria, certify,
                 ),
                 "stats": stats,
             },
@@ -454,7 +491,8 @@ def run_scene_batched(
 
 
 def _scene_fingerprint(params, ddtime, unknown_scale, descriptor, seed,
-                       use_prefilter, n_pairs, criteria) -> dict:
+                       use_prefilter, n_pairs, criteria,
+                       certify: bool = False) -> dict:
     """Everything that determines a scene's results; resumed stats are only
     reused when this matches exactly (a CSV alone cannot prove it was
     produced by the same protocol — e.g. the serial harness writes the
@@ -474,6 +512,9 @@ def _scene_fingerprint(params, ddtime, unknown_scale, descriptor, seed,
         # Invalidates stale sidecars across gate-rule changes (r4 excluded
         # the gate; r5 reinstated it as projected per-retry time).
         "time_gate": "projected-per-retry",
+        # Certification adds stats columns: a non-certified sidecar must
+        # not serve a certify=True request.
+        "certify": certify,
         # Solver CODE changes are invisible to repr(params); the package
         # version ties resumes to the code that produced them (a stale
         # sidecar from an older solver silently masked a behavior change
@@ -486,6 +527,50 @@ def _pkg_version() -> str:
     from psulvsb_tpu import __version__
 
     return __version__
+
+
+def _certify_winner(src, dst_s, s_b, r_b, t_b, params, tim_cap) -> dict:
+    """DRS-certify one winning solve (certification.cc:20-190 semantics).
+
+    Reconstructs the rotation subproblem the solver posed: correspondence
+    inliers by residual against (s, R, t) (threshold 2x the dataset noise
+    bound, scaled into the dst frame), chain TIMs over the inlier set
+    (v2 back in the src metric via /s — TIM noise bound 2x the point
+    bound, registration.cc:986-991's convention), theta = TLS signs from
+    the TIM rotation residuals. Returns {"certified": bool, "gap": float}
+    ({"certified": False, "gap": inf} when fewer than 4 inliers exist —
+    nothing to certify)."""
+    est = s_b * (r_b @ src + t_b[:, None])
+    resid = np.linalg.norm(dst_s - est, axis=0)
+    # dst noise is test_scale-amplified; s_b ~ test_scale for any sane solve.
+    thr = 2.0 * params.noise_bound_dataset * max(s_b, 1e-6)
+    inl = np.where(resid <= thr)[0]
+    if inl.size < 4:
+        return {"certified": False, "gap": float("inf")}
+    if inl.size > tim_cap + 1:
+        inl = inl[np.linspace(0, inl.size - 1, tim_cap + 1).astype(int)]
+    v1 = src[:, inl[1:]] - src[:, inl[:-1]]
+    v2 = (dst_s[:, inl[1:]] - dst_s[:, inl[:-1]]) / max(s_b, 1e-6)
+    # TIM noise bound under the benchmark's noise model: per-axis uniform
+    # +-nb (the reference's own — Eigen ::Random * NOISE_BOUND,
+    # PSULVSB.cc:190-194) gives point error up to sqrt(3) nb, TIM error up
+    # to 2 sqrt(3) nb. The 2x-only bound mislabels razor-edge inlier TIMs
+    # as theta=-1 and the certificate then (correctly) refuses: measured
+    # gap 0.082 at 2x vs 0.0 at 2 sqrt(3) x on the same winning solve.
+    tim_nb = 2.0 * np.sqrt(3.0) * params.noise_bound_dataset
+    tim_resid = np.linalg.norm(v2 - r_b @ v1, axis=0)
+    theta = np.where(
+        tim_resid <= tim_nb * np.sqrt(params.cbar2), 1.0, -1.0
+    )
+    from psulvsb_tpu.certify.drs import DRSCertifier
+
+    cert = DRSCertifier(noise_bound=tim_nb, cbar2=params.cbar2).certify(
+        r_b, v1, v2, theta, polish=True
+    )
+    return {
+        "certified": bool(cert.is_optimal),
+        "gap": float(cert.best_suboptimality),
+    }
 
 
 def _rmse_key(r) -> float:
@@ -527,6 +612,7 @@ def run_benchmark_batched(
     use_prefilter: bool = True,
     sharded: bool = False,
     resume: bool = False,
+    certify: bool = False,
 ) -> dict:
     """Dataset sweep through the batched harness (per-scene CSVs + averages
     CSV, same layout as eval/realdata.run_benchmark). resume=True skips
@@ -582,7 +668,7 @@ def run_benchmark_batched(
                     params, ddtime, unknown_scale, descriptor, seed,
                     use_prefilter,
                     len(read_pair_labels(os.path.join(scene_dir, "pairs.txt"))),
-                    criteria,
+                    criteria, certify,
                 ),
             )
         if stats is None:
@@ -598,6 +684,7 @@ def run_benchmark_batched(
                 seed=seed,
                 use_prefilter=use_prefilter,
                 sharded=sharded,
+                certify=certify,
             )
         summary[scene] = stats
         avg_rows.append([scene] + [stats[k] for k in sorted(stats)])

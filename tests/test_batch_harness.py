@@ -442,3 +442,126 @@ class TestCliqueSeed:
         )
         assert not bool(ok)
         assert bool(warm.first_time)
+
+
+class TestRetryRule:
+    """The shared filtered/raw retry allocation (eval/realdata.
+    retry_uses_prefilter) — the r5 fix for prefilter-collapse pairs."""
+
+    def test_alternates_even_filtered_odd_raw(self):
+        from psulvsb_tpu.eval.realdata import retry_uses_prefilter
+
+        got = [retry_uses_prefilter(t, 10, True) for t in range(10)]
+        assert got == [True, False] * 5
+
+    def test_single_retry_keeps_reference_filtered_solve(self):
+        from psulvsb_tpu.eval.realdata import retry_uses_prefilter
+
+        assert retry_uses_prefilter(0, 1, True) is True
+
+    def test_prefilter_off_disables_all(self):
+        from psulvsb_tpu.eval.realdata import retry_uses_prefilter
+
+        assert not any(retry_uses_prefilter(t, 10, False) for t in range(10))
+
+
+class TestProtocolScaleRule:
+    def test_estimate_scaling_tied_to_unknown_scale(self, tmp_path):
+        """The reference ties estimate_scaling to the protocol
+        (main.cc:319) — caller-supplied params must NOT re-enable scale
+        estimation on a known-scale sweep (the r4 full-scale failure:
+        explicit cap-override params carried the default
+        estimate_scaling=True past the preset-only replace)."""
+        import json
+
+        root = tmp_path / "bench"
+        write_scene(
+            str(root / "s0"), n_pairs=2, n_corr=400,
+            outlier_rates=(0.7, 0.8), seed=5,
+        )
+        out = tmp_path / "out"
+        explicit = SolverParams.preset_3dmatch(
+            sampled_cap=1024, basic_cap=512, hypothesis_batch=8,
+        )
+        assert explicit.estimate_scaling is True  # the hazardous default
+        run_benchmark_batched(
+            str(root), str(out), dataset="3dmatch", scenes=["s0"],
+            params=explicit, ddtime=1, unknown_scale=False,
+        )
+        with open(out / "s0_fpfh_0.csv.meta.json") as f:
+            meta = json.load(f)
+        assert "estimate_scaling=False" in meta["fingerprint"]["params"]
+
+
+class TestCertifiedProtocol:
+    def test_certify_reports_fraction_and_gap(self, tmp_path):
+        """certify=True DRS-certifies each winning solve
+        (certification.cc:20-190 as the reference's first-class post-solve
+        step): an easy scene must certify every success with a tiny gap."""
+        root = tmp_path / "cert"
+        write_scene(
+            str(root / "s0"), n_pairs=2, n_corr=400,
+            outlier_rates=(0.6, 0.75), seed=9,
+        )
+        out = tmp_path / "out"
+        summary = run_benchmark_batched(
+            str(root), str(out), dataset="3dmatch", scenes=["s0"],
+            params=PARAMS, ddtime=1, certify=True,
+        )
+        s = summary["s0"]
+        assert s["recall"] == 1.0
+        assert s["certified_frac"] == 1.0
+        assert s["avg_cert_gap"] is not None and s["avg_cert_gap"] < 1e-3
+        # certify is part of the resume fingerprint: a non-certified
+        # sidecar must not serve a certify=True request and vice versa.
+        second = run_benchmark_batched(
+            str(root), str(out), dataset="3dmatch", scenes=["s0"],
+            params=PARAMS, ddtime=1, certify=False, resume=True,
+        )
+        assert second["s0"]["timing"] == "amortized-batch"
+
+
+class TestClusteredOutliers:
+    def test_clustered_pair_properties(self):
+        """Clustered mode: inliers still satisfy the GT transform; outlier
+        groups are internally rigid (colluding) yet each group stays
+        smaller than the inlier count (well-posedness)."""
+        base = jnp.asarray(synthetic_cloud(1200, seed=4))
+        pair = make_synthetic_pair(
+            jax.random.PRNGKey(8), base, noise_bound=0.01,
+            outlier_rate=0.9, max_translation=2.0, outlier_mode="clustered",
+        )
+        m = np.asarray(pair.outlier_mask)
+        assert m.sum() == 1080
+        gt_pts = (
+            np.asarray(pair.transform.rotation) @ np.asarray(pair.src)
+            + np.asarray(pair.transform.translation)[:, None]
+        )
+        err = np.linalg.norm(gt_pts - np.asarray(pair.dst), axis=0)
+        assert err[~m].max() <= 0.01 * np.sqrt(3) * 1.01
+        # outliers are genuinely displaced
+        assert np.median(err[m]) > 0.05
+
+    def test_solver_survives_clustered_collusion(self):
+        """The consensus machinery must reject decoy-rigid groups: recall
+        on a clustered 90%-outlier pair (rival groups of up to 0.6x the
+        inlier count each)."""
+        base = jnp.asarray(synthetic_cloud(1000, seed=2))
+        pair = make_synthetic_pair(
+            jax.random.PRNGKey(9), base, noise_bound=0.01,
+            outlier_rate=0.9, max_translation=2.0, outlier_mode="clustered",
+        )
+        params = SolverParams.preset_3dmatch(
+            estimate_scaling=False, sampled_cap=1024, basic_cap=256,
+            hypothesis_batch=4,
+        )
+        sol = psulvsb_register(
+            pair.src, pair.dst,
+            jnp.ones((pair.src.shape[1],), jnp.int32),
+            jax.random.PRNGKey(0), params,
+        )
+        ang = float(angular_error_deg(pair.transform.rotation, sol.rotation))
+        tr = float(
+            jnp.linalg.norm(sol.translation - pair.transform.translation)
+        )
+        assert bool(sol.valid) and ang < 15.0 and tr < 0.3
