@@ -706,9 +706,11 @@ def main():
 
     @section("batch_scaling")
     def s_batch():
-        # Single-chip batch scaling (VERDICT r3 #7): pairs/s at 8/16/32/64
-        # pairs per dispatch — the per-device shape of the sharded sweep.
-        for n in (8, 16, 32, 64):
+        # Single-chip batch scaling (VERDICT r3 #7, r4 #7): pairs/s at
+        # 8..256 pairs per dispatch — the per-device shape of the sharded
+        # sweep; 128/256 probe whether throughput is still rising past the
+        # harness CHUNK of 64.
+        for n in (8, 16, 32, 64, 128, 256):
             OUT[f"batch{n}_pairs_per_s"] = round(
                 measure_batched_throughput(params, n_pairs=n), 2
             )

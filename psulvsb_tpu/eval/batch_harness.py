@@ -502,6 +502,10 @@ def _scene_fingerprint(params, ddtime, unknown_scale, descriptor, seed,
     different result."""
     return {
         "params": repr(params),
+        # The honest clique-stage name: repr(params) alone shows the
+        # reference enum (PMC_EXACT), which doesn't say whether the exact
+        # native callback or the audited on-device greedy actually ran.
+        "clique_algorithm": params.effective_clique_algorithm(),
         "ddtime": ddtime,
         "unknown_scale": unknown_scale,
         "descriptor": descriptor,

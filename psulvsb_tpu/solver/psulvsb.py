@@ -64,7 +64,7 @@ from psulvsb_tpu.robust.translation import (
     solve_translation,
     solve_translation_endpoints,
 )
-from psulvsb_tpu.clique.kcore import greedy_clique
+from psulvsb_tpu.clique.kcore import greedy_clique, triangle_scores
 from psulvsb_tpu.solver.basic import (
     WarmState,
     basic_step,
@@ -534,6 +534,77 @@ def _init_stage(
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
+def dense_consistency_adjacency(
+    ori_src: jax.Array,
+    ori_dst: jax.Array,
+    red_i: jax.Array,
+    red_j: jax.Array,
+    red_pool: jax.Array,
+    params: SolverParams,
+    active: jax.Array,
+) -> jax.Array:
+    """The exact (C, C) consistency graph the clique seed uses
+    (registration.cc:744-767's membership tests over the dense pair grid).
+
+    Known scale: beta window |d_dst - d_src| <= 2 nb sqrt(cbar2). Scale
+    estimation: ratio-histogram window (|bin - peak| <= 1, the reduced-set
+    membership test) with the peak taken as the median bin of the pool
+    members (red_i/red_j/red_pool — peak +-1 members by construction;
+    red_pool == 0 leaves a garbage peak, an empty clique, and ok=False
+    downstream). Shared by _clique_seed_stage and the clique-at-scale
+    audit (tools/clique_scale_audit.py) so the audited graphs ARE the
+    solver's graphs."""
+    c = ori_src.shape[1]
+    s = ori_src.T.astype(jnp.float32)  # (C, 3)
+    d = ori_dst.T.astype(jnp.float32)
+
+    def pdist(m):
+        n = jnp.sum(m * m, axis=1)
+        g = jax.lax.dot_general(
+            m, m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.sqrt(jnp.maximum(n[:, None] + n[None, :] - 2.0 * g, 0.0))
+
+    v1 = pdist(s)
+    v2 = pdist(d)
+    if params.estimate_scaling:
+        num_bins = int(params.hist_max_scale) * params.hist_bins_per_unit
+        bins = jnp.clip(
+            jnp.floor(
+                v2 / jnp.where(v1 > 0, v1, 1.0) * params.hist_bins_per_unit
+            ).astype(jnp.int32),
+            0,
+            num_bins - 1,
+        )
+        st = ori_src[:, red_j] - ori_src[:, red_i]
+        dt = ori_dst[:, red_j] - ori_dst[:, red_i]
+        p1 = jnp.sqrt(jnp.sum(st * st, axis=0))
+        p2 = jnp.sqrt(jnp.sum(dt * dt, axis=0))
+        pb = jnp.clip(
+            jnp.floor(
+                p2 / jnp.where(p1 > 0, p1, 1.0) * params.hist_bins_per_unit
+            ).astype(jnp.int32),
+            0,
+            num_bins - 1,
+        )
+        slot_ok = jnp.arange(red_i.shape[0]) < red_pool
+        pb_sorted = jnp.sort(jnp.where(slot_ok, pb, jnp.int32(1 << 30)))
+        peak = pb_sorted[jnp.maximum(red_pool // 2 - 1, 0)]
+        member = jnp.abs(bins - peak) <= 1
+    else:
+        beta = 2.0 * params.noise_bound * np.sqrt(params.cbar2)
+        member = jnp.abs(v1 - v2) <= beta
+    iu = jnp.arange(c)
+    return (
+        member
+        & (iu[:, None] != iu[None, :])
+        & active[:, None]
+        & active[None, :]
+    )
+
+
 def _clique_seed_stage(
     ori_src: jax.Array,
     ori_dst: jax.Array,
@@ -578,63 +649,18 @@ def _clique_seed_stage(
     dtype = ori_src.dtype
 
     if active is not None and c <= params.dense_init_max_c:
-        s = ori_src.T.astype(jnp.float32)  # (C, 3)
-        d = ori_dst.T.astype(jnp.float32)
-
-        def pdist(m):
-            n = jnp.sum(m * m, axis=1)
-            g = jax.lax.dot_general(
-                m, m, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            return jnp.sqrt(jnp.maximum(n[:, None] + n[None, :] - 2.0 * g, 0.0))
-
-        v1 = pdist(s)
-        v2 = pdist(d)
-        if params.estimate_scaling:
-            num_bins = int(params.hist_max_scale) * params.hist_bins_per_unit
-            bins = jnp.clip(
-                jnp.floor(
-                    v2 / jnp.where(v1 > 0, v1, 1.0) * params.hist_bins_per_unit
-                ).astype(jnp.int32),
-                0,
-                num_bins - 1,
-            )
-            # Peak bin = median bin over the pool members (uniform samples
-            # of the peak +-1 window; red_pool == 0 leaves a garbage peak,
-            # an empty clique, and ok=False downstream).
-            st = ori_src[:, red_j] - ori_src[:, red_i]
-            dt = ori_dst[:, red_j] - ori_dst[:, red_i]
-            p1 = jnp.sqrt(jnp.sum(st * st, axis=0))
-            p2 = jnp.sqrt(jnp.sum(dt * dt, axis=0))
-            pb = jnp.clip(
-                jnp.floor(
-                    p2 / jnp.where(p1 > 0, p1, 1.0) * params.hist_bins_per_unit
-                ).astype(jnp.int32),
-                0,
-                num_bins - 1,
-            )
-            slot_ok = jnp.arange(red_i.shape[0]) < red_pool
-            pb_sorted = jnp.sort(jnp.where(slot_ok, pb, jnp.int32(1 << 30)))
-            peak = pb_sorted[jnp.maximum(red_pool // 2 - 1, 0)]
-            member = jnp.abs(bins - peak) <= 1
-        else:
-            beta = 2.0 * params.noise_bound * np.sqrt(params.cbar2)
-            member = jnp.abs(v1 - v2) <= beta
-        iu = jnp.arange(c)
-        adj = (
-            member
-            & (iu[:, None] != iu[None, :])
-            & active[:, None]
-            & active[None, :]
+        adj = dense_consistency_adjacency(
+            ori_src, ori_dst, red_i, red_j, red_pool, params, active
         )
     else:
         slot_ok = jnp.arange(red_i.shape[0]) < red_pool
         adj = jnp.zeros((c, c), bool)
         adj = adj.at[red_i, red_j].max(slot_ok)
         adj = adj.at[red_j, red_i].max(slot_ok)
-    clique = greedy_clique(adj)
+    # Triangle ordering, not core numbers: the ratio-histogram window's
+    # noise region out-cores the inlier clique and core-seeded greedy lands
+    # in noise (measured 5 vs exact 121; clique/kcore.triangle_scores).
+    clique = greedy_clique(adj, order_scores=triangle_scores(adj))
     m = jnp.minimum(jnp.sum(clique, dtype=jnp.int32), cap)
 
     # Compact clique member indices to (cap,) (cumsum compaction; members
@@ -882,7 +908,10 @@ def _local_stage(
                         sampled_pt_mask,
                         vmap_method="sequential",
                     )
-                return greedy_clique(adj, sampled_pt_mask)
+                return greedy_clique(
+                    adj, sampled_pt_mask,
+                    order_scores=triangle_scores(adj, sampled_pt_mask),
+                )
 
             clique_pts = jax.lax.cond(
                 b_rate_is_one, run_clique, lambda: jnp.zeros((c,), bool)
