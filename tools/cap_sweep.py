@@ -46,6 +46,7 @@ GRID = [
     (2048, 256, 4),
     (2048, 512, 4),
     (2048, 256, 8),
+    (2048, 256, 16),
     (1024, 256, 4),
     (4096, 512, 8),
 ]
