@@ -87,7 +87,12 @@ class TestGrorInit:
 
     def test_rescues_hostile_pair(self):
         """97% realistic (mismatch) outliers under a tight hypothesis budget:
-        the cold start misses the basin, the GROR-seeded solve lands it."""
+        the cold start misses the basin, the GROR-seeded solve lands it.
+
+        clique_init="off" on BOTH sides: the test isolates GROR's rescue,
+        and the escalation clique seed (r5's triangle ordering) now solves
+        this fixture on its own — with it on there is no hostile cold
+        baseline left to rescue."""
         from psulvsb_tpu.solver.config import SolverParams
         from psulvsb_tpu.solver.psulvsb import psulvsb_solve
 
@@ -97,9 +102,10 @@ class TestGrorInit:
             outlier_mode="mismatch",
         )
         keep = jnp.ones((400,), jnp.int32)
-        p_cold = SolverParams.preset_artificial(**self.BASE)
+        p_cold = SolverParams.preset_artificial(clique_init="off", **self.BASE)
         p_gror = SolverParams.preset_artificial_gror(
-            gror_resolution=0.05, gror_k_optimal=200, **self.BASE
+            gror_resolution=0.05, gror_k_optimal=200, clique_init="off",
+            **self.BASE
         )
         sol_c, info_c = psulvsb_solve(pair.src, pair.dst, keep, p_cold,
                                       jax.random.PRNGKey(2))
