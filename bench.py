@@ -84,14 +84,14 @@ PEAK_FLOPS_BF16 = 197e12
 # sort/top-k/gather-heavy workload (MXU share is structurally low).
 PEAK_HBM_BPS = 819e9
 
-# Caps re-swept on-device 2026-08-17 (r3, two passes): (2048, 256, 4)
-# measures 10.5-15.5 ms/solve at the C=1500 bucket vs 25.2 ms for the
-# round-2 (4096, 1024, 16) winner, with 0/10 correctness failures at both
-# headline sizes (worst rotation error 0.22 deg) AND recall 1.0 over the
-# full 240-pair 3DMatch/3DLoMatch/KITTI protocols. Smaller basic sets +
-# hypothesis batches shrink the per-round local-stage footprint; the lazy
-# clique seed (clique_init="auto") covers the hostile tail that larger
-# batches used to buy.
+# Caps last re-swept on-device 2026-08-19 (r5, after the triangle clique
+# seed + per-retry time gate changed the round structure): (2048, 256, 4)
+# still wins — hypothesis_batch 8/16 lose 15-45% on the hostile fixture
+# even with the fused GNC kernel, basic_cap=512 loses ~20%, pool_cap is
+# flat across 8k-32k. Full grid + interpretation: docs/CAP_SWEEP.md.
+# Smaller basic sets + hypothesis batches shrink the per-round local-stage
+# footprint; the lazy clique seed (clique_init="auto") covers the hostile
+# tail that larger batches used to buy.
 CAPS = dict(sampled_cap=2048, basic_cap=256, hypothesis_batch=4)
 REALDATA_CAPS = dict(sampled_cap=2048, basic_cap=256, hypothesis_batch=4)
 
@@ -310,7 +310,7 @@ def _stage_fns(pair, keep, params):
             lambda o: o[0].best.scale,
         ),
         "finalize": (
-            lambda s, kk: _finalize_stage(s, dst, hs2, local.best),
+            lambda s, kk: _finalize_stage(s, dst, hs2, local.best, params),
             lambda o: o[0][0, 0],
         ),
     }

@@ -185,13 +185,21 @@ def frontend_solver_params(**overrides):
     """Solver params matching the front-end's noise regime: the voxel leaf
     quantizes keypoints by up to ~leaf/2 per axis, so the solver bound is
     the front-end NOISE_BOUND (0.3), not preset_kitti's raw-scan 0.1
-    (tests/test_structured_scene.py measured the mis-parameterization)."""
+    (tests/test_structured_scene.py measured the mis-parameterization).
+
+    gror_init + translation_rescue: the descriptor regime's two measured
+    failure modes at ~1% inlier rate (docs/FRONTEND_FAILURES.md) — GNC
+    plateaus that only GROR's edge-hypothesis search escapes, and
+    repeated-geometry translation aliasing that the gated global re-stab
+    corrects (3/120 failing pairs -> 0 with both on)."""
     from psulvsb_tpu.solver.config import SolverParams
 
     return SolverParams.preset_kitti(
         **{
             "noise_bound": NOISE_BOUND,
             "noise_bound_dataset": NOISE_BOUND,
+            "gror_init": True,
+            "translation_rescue": True,
             **overrides,
         }
     )

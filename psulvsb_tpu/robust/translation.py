@@ -101,6 +101,78 @@ def solve_translation_endpoints(
     return t_s, inliers_c, points_c, beta
 
 
+def global_translation_vote(
+    src: jax.Array,
+    dst: jax.Array,
+    rotation: jax.Array,
+    scale: jax.Array,
+    real: jax.Array,
+    noise_bound: jax.Array | float,
+    cbar2: jax.Array | float,
+    current_translation: jax.Array,
+    chunk: int = 512,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Joint 1-point translation consensus over ALL real correspondences.
+
+    The per-axis stabbing above runs — as the reference does
+    (registration.cc:1114-1154, 1248-1250) — over the ROTATION-INLIER
+    subset only. Under repeated scene geometry that subset aliases: TIMs
+    are translation-invariant, so matches landing on a translated copy of
+    a repeated structure agree with the true inliers through the scale and
+    rotation stages and split only at translation, where the subset can
+    prefer the wrong copy (measured on the front-end protocol: 3/120 pairs
+    whose solver pose carried LESS global support than the ground truth —
+    docs/FRONTEND_FAILURES.md).
+
+    This is the rescue: every correspondence proposes the translation it
+    implies under the final rotation, t_i = (dst_i - s R src_i), and votes
+    for every proposal within the per-axis noise box (the reference's
+    translation-inlier criterion, AND over axes). The winning proposal's
+    box members are averaged — a dense (chunk, C) compare/matmul sweep,
+    no data-dependent shapes.
+
+    Returns (t_new (3,) already divided by scale, support_new () int32,
+    support_cur () int32 — the same box count at `current_translation`).
+    The caller adopts t_new only if support strictly improves, so where
+    the per-axis subset stab already found the global mode this is a
+    no-op by construction.
+    """
+    c = src.shape[1]
+    dtype = src.dtype
+    beta = jnp.asarray(noise_bound, dtype) * jnp.sqrt(
+        jnp.asarray(cbar2, dtype)
+    )
+    d = (dst - scale * mm(rotation, src)).T  # (C, 3) proposals, s-scaled
+    w = real.astype(dtype)
+
+    n_chunks = -(-c // chunk)
+    pad = n_chunks * chunk - c
+    dp = jnp.pad(d, ((0, pad), (0, 0)))
+
+    def body(rows):  # (chunk, 3) -> (chunk,) vote counts
+        within = jnp.all(
+            jnp.abs(rows[:, None, :] - d[None, :, :]) <= beta, axis=-1
+        )
+        return within.astype(dtype) @ w
+
+    votes = jax.lax.map(body, dp.reshape(n_chunks, chunk, 3)).reshape(-1)[:c]
+    votes = jnp.where(real, votes, -jnp.ones_like(votes))
+    i = jnp.argmax(votes)
+    member = jnp.all(jnp.abs(d - d[i]) <= beta, axis=-1) & real
+    denom = jnp.maximum(jnp.sum(member.astype(dtype)), jnp.asarray(1, dtype))
+    center = jnp.sum(jnp.where(member[:, None], d, 0), axis=0) / denom
+    s_safe = jnp.where(scale > 0, scale, jnp.ones_like(scale))
+    cur_box = (
+        jnp.all(jnp.abs(d - scale * current_translation) <= beta, axis=-1)
+        & real
+    )
+    return (
+        center / s_safe,
+        jnp.sum(member, dtype=jnp.int32),
+        jnp.sum(cur_box, dtype=jnp.int32),
+    )
+
+
 class TLSTranslationSolver:
     """Facade of teaser::TLSTranslationSolver (registration.h:194-217)."""
 

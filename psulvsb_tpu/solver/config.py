@@ -158,6 +158,23 @@ class SolverParams:
     enable_self_update: bool = True
     enable_refinement: bool = True
 
+    # --- global-translation rescue (TPU-native addition) --------------------
+    # The reference solves translation over the ROTATION-INLIER subset only
+    # (registration.cc:1114-1154, 1248-1250). Under repeated scene geometry
+    # that subset aliases: TIMs are translation-invariant, so matches onto a
+    # TRANSLATED COPY of a repeated structure agree with the true inliers
+    # through the scale and rotation stages and split only at translation,
+    # where the subset can prefer the wrong copy. Measured on the end-to-end
+    # front-end protocol (real FPFH matches, ~1% inlier rate): 3/120 failing
+    # pairs whose solver pose carried LESS global support than ground truth,
+    # all three recovered by re-stabbing translation over ALL real
+    # correspondences under the final rotation, gated on the global support
+    # count strictly improving (docs/FRONTEND_FAILURES.md). Off by default:
+    # the gate makes it a no-op wherever the subset stab already found the
+    # global mode, but it adds a dense (C, C) vote to finalize — enable it
+    # for descriptor-front-end regimes (frontend_solver_params does).
+    translation_rescue: bool = False
+
     # Reduced-set construction:
     # - "dense": exact membership over the (C, C) pair grid via MXU
     #   distance matrices + hashed-priority approx_max_k compaction — the

@@ -233,7 +233,9 @@ def psulvsb_register(
     if params.enable_refinement:
         rotation, translation, _refined = jax.lax.cond(
             hs.best_count > 0,
-            lambda: _finalize_stage(ori_src, ori_dst, hs, final.best_sampled),
+            lambda: _finalize_stage(
+                ori_src, ori_dst, hs, final.best_sampled, params
+            ),
             lambda: (hs.best.rotation, hs.best.translation, jnp.zeros((), bool)),
         )
     else:

@@ -61,6 +61,7 @@ from psulvsb_tpu.pairs.tims import (
 )
 from psulvsb_tpu.robust.scale import select_scale_inliers, solve_scale_tls
 from psulvsb_tpu.robust.translation import (
+    global_translation_vote,
     solve_translation,
     solve_translation_endpoints,
 )
@@ -1428,12 +1429,13 @@ def _self_update_pairs(
 # =============================================================================
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("params",))
 def _finalize_stage(
     ori_src: jax.Array,
     ori_dst: jax.Array,
     hs: HostState,
     best_sampled: WarmState,
+    params: SolverParams,
 ):
     """weightedSVD refinement seeded from the *sampled* best
     (registration.cc:1502-1525: init_transform uses rotation/translation_
@@ -1474,6 +1476,20 @@ def _finalize_stage(
     better = rmse_adj < rmse_ori
     rotation = jnp.where(better, r_adj, hs.best.rotation)
     translation = jnp.where(better, t_adj, hs.best.translation)
+
+    if params.translation_rescue:
+        # Repeated-geometry translation aliasing rescue: re-stab over ALL
+        # real correspondences under the final rotation, adopt only on a
+        # strict global-support improvement (config.py translation_rescue;
+        # mechanism + measurements: docs/FRONTEND_FAILURES.md). Uses the
+        # host best's scale — the model of the returned solution.
+        t_res, sup_new, sup_cur = global_translation_vote(
+            ori_src, ori_dst, rotation, hs.best.scale,
+            hs.keep_mask > -2, params.noise_bound, params.cbar2,
+            translation,
+        )
+        translation = jnp.where(sup_new > sup_cur, t_res, translation)
+
     return rotation, translation, better
 
 
@@ -1671,7 +1687,8 @@ def psulvsb_solve(
     # Final refinement (registration.cc:1499-1528).
     if params.enable_refinement and int(hs.best_count) != 0:
         rotation, translation, refined = timed(
-            "finalize", _finalize_stage, ori_src, ori_dst, hs, best_sampled
+            "finalize", _finalize_stage, ori_src, ori_dst, hs, best_sampled,
+            params,
         )
     else:
         rotation, translation = hs.best.rotation, hs.best.translation

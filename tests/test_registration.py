@@ -472,7 +472,9 @@ class TestFinalizeStage:
             first_time=jnp.zeros((), bool),
         )
         hs = self._state(src, dst, seed, s_true)
-        rotation, translation, better = _finalize_stage(src, dst, hs, seed)
+        rotation, translation, better = _finalize_stage(
+            src, dst, hs, seed, SolverParams()
+        )
         assert bool(better)
         res = s_true * (rotation @ src + translation[:, None]) - dst
         assert float(jnp.sqrt(jnp.mean(jnp.sum(res**2, axis=0)))) < 1e-4
@@ -494,7 +496,9 @@ class TestFinalizeStage:
             first_time=jnp.zeros((), bool),
         )
         hs = self._state(src, dst, seed, s_true)
-        rotation, translation, better = _finalize_stage(src, dst, hs, seed)
+        rotation, translation, better = _finalize_stage(
+            src, dst, hs, seed, SolverParams()
+        )
         # rmse_adj cannot be strictly below an (exact) rmse_ori: the gate
         # must keep the host best (registration.cc:1516 "Adjust failed").
         assert not bool(better)

@@ -182,3 +182,113 @@ class TestTranslationEndpoints:
         )
         assert float(t[1]) == pytest.approx(1.0, abs=1e-5)
         assert not bool(inl[3])
+
+
+class TestGlobalTranslationVote:
+    """global_translation_vote — the repeated-geometry aliasing rescue
+    (docs/FRONTEND_FAILURES.md; config.py translation_rescue)."""
+
+    def _aliased(self, key, n_true=20, n_decoy=10, n_noise=70):
+        """Correspondence set whose per-point translation proposals form a
+        majority cluster at t_true and a rotation-consistent decoy cluster
+        at t_true + offset (a translated copy of repeated geometry — TIMs
+        cannot tell the clusters apart), plus unstructured noise."""
+        from psulvsb_tpu.core.se3 import random_se3
+
+        c = n_true + n_decoy + n_noise
+        ks = jax.random.split(key, 4)
+        src = jax.random.uniform(ks[0], (3, c), minval=-5.0, maxval=5.0)
+        rot = random_se3(ks[1]).rotation
+        t_true = jnp.array([0.4, -0.8, 1.2])
+        t_decoy = t_true + jnp.array([3.0, 0.0, -2.0])
+        dst = rot @ src + t_true[:, None]
+        idx = jnp.arange(c)
+        decoy = (idx >= n_true) & (idx < n_true + n_decoy)
+        dst = jnp.where(decoy[None, :], rot @ src + t_decoy[:, None], dst)
+        noise = idx >= n_true + n_decoy
+        dst = jnp.where(
+            noise[None, :],
+            dst + jax.random.uniform(ks[2], (3, c), minval=-8.0, maxval=8.0),
+            dst,
+        )
+        dst = dst + 0.01 * jax.random.normal(ks[3], (3, c))
+        return src, dst, rot, t_true, t_decoy
+
+    def test_rescues_decoy_translation(self, key):
+        """Incumbent = the decoy cluster's translation (what the
+        rotation-inlier subset stab picks when the subset is
+        decoy-dominated): the vote must return the majority cluster's
+        translation with strictly more support."""
+        from psulvsb_tpu.robust.translation import global_translation_vote
+
+        src, dst, rot, t_true, t_decoy = self._aliased(key)
+        real = jnp.ones((src.shape[1],), bool)
+        t_new, sup_new, sup_cur = global_translation_vote(
+            src, dst, rot, jnp.float32(1.0), real, 0.1, 1.0, t_decoy,
+            chunk=32,
+        )
+        assert int(sup_new) > int(sup_cur)
+        assert int(sup_new) == 20 and int(sup_cur) == 10
+        np.testing.assert_allclose(
+            np.asarray(t_new), np.asarray(t_true), atol=0.05
+        )
+
+    def test_noop_when_incumbent_is_global_mode(self, key):
+        """Incumbent already at the majority cluster: support cannot
+        strictly improve, so the caller's sup_new > sup_cur gate holds the
+        incumbent (rescue is a no-op by construction)."""
+        from psulvsb_tpu.robust.translation import global_translation_vote
+
+        src, dst, rot, t_true, _ = self._aliased(key)
+        real = jnp.ones((src.shape[1],), bool)
+        t_new, sup_new, sup_cur = global_translation_vote(
+            src, dst, rot, jnp.float32(1.0), real, 0.1, 1.0, t_true,
+            chunk=32,
+        )
+        assert int(sup_new) == int(sup_cur) == 20
+        np.testing.assert_allclose(
+            np.asarray(t_new), np.asarray(t_true), atol=0.05
+        )
+
+    def test_padding_never_votes(self, key):
+        """Padded columns (real=False) must neither propose nor vote: a
+        padding block placed exactly on the decoy cluster cannot flip the
+        winner."""
+        from psulvsb_tpu.robust.translation import global_translation_vote
+
+        src, dst, rot, t_true, t_decoy = self._aliased(key)
+        c = src.shape[1]
+        # Append 40 fake columns that all agree with the decoy.
+        pad_src = jax.random.uniform(
+            jax.random.fold_in(key, 1), (3, 40), minval=-5.0, maxval=5.0
+        )
+        pad_dst = rot @ pad_src + t_decoy[:, None]
+        src2 = jnp.concatenate([src, pad_src], axis=1)
+        dst2 = jnp.concatenate([dst, pad_dst], axis=1)
+        real = jnp.concatenate([jnp.ones((c,), bool), jnp.zeros((40,), bool)])
+        t_new, sup_new, sup_cur = global_translation_vote(
+            src2, dst2, rot, jnp.float32(1.0), real, 0.1, 1.0, t_decoy,
+            chunk=32,
+        )
+        assert int(sup_new) == 20 and int(sup_cur) == 10
+        np.testing.assert_allclose(
+            np.asarray(t_new), np.asarray(t_true), atol=0.05
+        )
+
+    def test_scale_model(self, key):
+        """dst = s*(R p + t): proposals live in the s-scaled space and the
+        returned translation is already divided by s."""
+        from psulvsb_tpu.robust.translation import global_translation_vote
+
+        src, dst, rot, t_true, t_decoy = self._aliased(key)
+        s = jnp.float32(2.5)
+        t_new, sup_new, sup_cur = global_translation_vote(
+            src, s * dst, rot, s, jnp.ones((src.shape[1],), bool),
+            0.1, 1.0, t_decoy, chunk=32,
+        )
+        # NOTE dst was built as rot@src + t; s*dst = s*(rot@src + t) — the
+        # solver's model with translation t and scale s.
+        assert int(sup_new) == 20
+        np.testing.assert_allclose(
+            np.asarray(t_new), np.asarray(t_true), atol=0.05
+        )
