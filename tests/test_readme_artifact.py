@@ -82,3 +82,28 @@ class TestReadmeMatchesArtifact:
             assert any(c in table for c in candidates), (
                 f"{k}={v} missing from README protocol table"
             )
+
+    def test_frontend_recall(self, artifact, readme):
+        """The end-to-end front-end protocol's recall (real FPFH matches —
+        the one protocol whose outliers the generator does not control)
+        must be quoted from the artifact, not asserted."""
+        _, data = artifact
+        if "frontend_e2e_recall" not in data:
+            pytest.skip("artifact has no frontend_e2e block")
+        v = data["frontend_e2e_recall"]
+        candidates = {"1.0" if v == 1.0 else f"{v:g}", f"{v:.3f}", f"{v:.4f}"}
+        assert any(c in readme for c in candidates), (
+            f"frontend_e2e_recall={v} missing from README"
+        )
+
+    def test_certified_fraction(self, artifact, readme):
+        """The DRS-certified protocol's certified fraction must be quoted
+        from the artifact."""
+        _, data = artifact
+        if "realdata_3dmatch_certified_frac" not in data:
+            pytest.skip("artifact has no certified block")
+        v = data["realdata_3dmatch_certified_frac"]
+        candidates = {"1.0" if v == 1.0 else f"{v:g}", f"{v:.3f}", f"{v:.4f}"}
+        assert any(c in readme for c in candidates), (
+            f"realdata_3dmatch_certified_frac={v} missing from README"
+        )
