@@ -611,3 +611,25 @@ class TestFusedBudgetProjection:
         )
         assert bool(sol.valid)
         assert float(angular_error_deg(pair.transform.rotation, sol.rotation)) < 15.0
+
+    def test_projection_equals_explicit_round_cap(self):
+        """Budget truncation IS a scan-length cap: a fused solve whose
+        budget projects to k rounds must match a fused solve with
+        max_host_rounds=k bit-for-bit (guards any future reimplementation
+        of the truncation drifting from the cap semantics)."""
+        from psulvsb_tpu.solver.fused import fused_scan_rounds
+        base = jnp.asarray(synthetic_cloud(400, seed=5))
+        pair = make_synthetic_pair(
+            jax.random.PRNGKey(3), base, noise_bound=0.01,
+            outlier_rate=0.8,
+        )
+        keep = jnp.ones((pair.src.shape[1],), jnp.int32)
+        p_budget = PARAMS.replace(time_budget_s=0.05, fused_round_ceiling_s=0.02)
+        p_cap = PARAMS.replace(max_host_rounds=2)
+        assert fused_scan_rounds(p_budget) == 2
+        s_b = psulvsb_register(pair.src, pair.dst, keep,
+                               jax.random.PRNGKey(1), p_budget)
+        s_c = psulvsb_register(pair.src, pair.dst, keep,
+                               jax.random.PRNGKey(1), p_cap)
+        for a, b in zip(s_b, s_c):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
