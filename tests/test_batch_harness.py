@@ -32,6 +32,7 @@ def scene(tmp_path_factory):
 
 
 class TestBatchedScene:
+    @pytest.mark.slow
     def test_recall_and_stats(self, scene):
         stats = run_scene_batched(
             scene, os.path.join(scene, "pairs.txt"), PARAMS,
@@ -44,6 +45,7 @@ class TestBatchedScene:
         assert stats["pairs_per_s"] > 0
         assert os.path.exists(os.path.join(scene, "o.csv"))
 
+    @pytest.mark.slow
     def test_unknown_scale_recall(self, scene):
         """The reference's unknownScale mode through the batched harness
         (teaser_cpp_ply_main.cc:319): dst stretched by a random test scale
@@ -64,6 +66,7 @@ class TestBatchedScene:
         assert stats["avg_scale_error"] < 0.05
         assert stats["avg_trans_error"] < 0.05
 
+    @pytest.mark.slow
     def test_sharded_matches_serial_path(self, scene):
         """The sharded mesh path must produce the same per-pair successes as
         the single-device batch (identical keys -> identical programs)."""
@@ -163,6 +166,7 @@ class TestBatchedScene:
         assert fourth["sceneA"]["timing"] == "amortized-batch"
         assert os.path.getmtime(csv_path) != mtime3
 
+    @pytest.mark.slow
     def test_whu_tls_default_params_match_regime(self, tmp_path):
         """dataset='whu_tls' with params=None must solve with the WHU-TLS
         preset (noise bound 0.15, registration.cc:35), not 3DMatch's 0.01
@@ -212,6 +216,7 @@ class TestRealisticShapes:
         assert (out / "s0_fcgf_0.csv").exists()
         assert (out / "Average_3dmatch_fcgf.csv").exists()
 
+    @pytest.mark.slow
     def test_mixed_cardinality_buckets(self, tmp_path):
         """A scene with per-pair sizes straddling a pad-bucket boundary
         (400 -> bucket 512, 700 -> bucket 1024) solves every pair in its
@@ -370,6 +375,7 @@ class TestCliqueSeed:
         assert bool(sol.valid)
         assert float(angular_error_deg(pair.transform.rotation, sol.rotation)) < 5.0
 
+    @pytest.mark.slow
     def test_lazy_matches_off_when_no_escalation(self):
         """On an easy pair the lazy seed never fires: "auto" and "off" give
         bit-identical solutions for the same key (the no-tax property)."""
@@ -404,6 +410,7 @@ class TestCliqueSeed:
             np.asarray(s_f.rotation), np.asarray(s_s.rotation), atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_eager_seed_with_gror_staged_fused_parity(self):
         """Eager clique + GROR compose identically in both drivers: the
         seed wins over GROR when it lands and the key split is
@@ -612,6 +619,7 @@ class TestFusedBudgetProjection:
         assert bool(sol.valid)
         assert float(angular_error_deg(pair.transform.rotation, sol.rotation)) < 15.0
 
+    @pytest.mark.slow
     def test_projection_equals_explicit_round_cap(self):
         """Budget truncation IS a scan-length cap: a fused solve whose
         budget projects to k rounds must match a fused solve with

@@ -246,6 +246,7 @@ class TestDeviceF32Parity:
 
         return [(c, load_cert_case(c)) for c in SMALL_CASES + LARGE_CASES]
 
+    @pytest.mark.slow
     def test_f32_device_matches_f64_on_reference_fixtures(self):
         """Across the reference's shipped certification_{small,large} MATLAB
         cases: is_optimal identical, best_suboptimality within 2e-2 absolute

@@ -183,6 +183,7 @@ class TestPrefilterFallback:
 
 
 class TestDecoupledFallback:
+    @pytest.mark.slow
     def test_rescues_hostile_pair(self, key):
         """evaluate_pair(decoupled_fallback=True): the classic clique path
         must rescue a >= 97%-outlier pair where the PSULVSB retries plateau

@@ -391,6 +391,7 @@ class TestShippedDataFixtures:
         assert got.shape[0] >= 0.85 * can.shape[1]
         assert (got[:, 0] == got[:, 1]).mean() >= 0.95
 
+    @pytest.mark.slow
     def test_matcher_case1_structural(self):
         """matcher-test.cc MatchCase1 surface: object/scene PLYs -> FPFH ->
         mutual-NN + cross-check. Exact parity with the shipped

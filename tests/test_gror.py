@@ -85,6 +85,7 @@ class TestGrorInit:
         max_host_rounds=2,
     )
 
+    @pytest.mark.slow
     def test_rescues_hostile_pair(self):
         """97% realistic (mismatch) outliers under a tight hypothesis budget:
         the cold start misses the basin, the GROR-seeded solve lands it.

@@ -139,6 +139,7 @@ class TestSortUtilities:
 
 
 class TestExactHistInit:
+    @pytest.mark.slow
     def test_exact_hist_equivalent_solve(self):
         """Full solve with init_mode=exact_hist lands the same registration
         quality as the exact sweep on a scaled clustered-ratio problem."""

@@ -39,6 +39,7 @@ def _make_batch(b, n=48):
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 class TestSharded:
+    @pytest.mark.slow
     def test_sharded_matches_vmap(self):
         params = SolverParams.preset_artificial(**TINY)
         src_b, dst_b, keep_b, keys, gts = _make_batch(8)
@@ -64,6 +65,7 @@ class TestSharded:
             re = float(angular_error_deg(gt.rotation, sols.rotation[i]))
             assert re < 10.0, f"pair {i}: {re}"
 
+    @pytest.mark.slow
     def test_nonuniform_shards_match_local(self):
         """Adversarial coverage for check_vma=False (parallel/pairs.py):
         2 pairs per device with INVALID pairs distributed non-uniformly

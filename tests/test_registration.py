@@ -296,6 +296,7 @@ class TestPoolCap:
 
 
 class TestPallasGncSolver:
+    @pytest.mark.slow
     def test_pallas_gnc_impl_matches_quality(self, key):
         """Full PSULVSB solve with gnc_impl='pallas' (whole-GNC kernel,
         interpret mode on CPU): same accuracy as the XLA path."""
